@@ -1,0 +1,96 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Property-graph materialization: vertices + edges as partitioned
+  * Parquet in Iceberg-compatible layout (partition columns + a manifest
+  * /lineage sidecar we own — the sandbox has no Iceberg runtime jar,
+  * see SURVEY.md §7.0), with per-partition lineage + counter metrics
+  * and idempotent resume.
+  *
+  * Graft of the reference's Neo4j bulk sinks
+  * (/root/reference/examples/saveToNeo4j.jl:14-49) and its crude
+  * resume ledger `processed_files.txt`
+  * (/root/reference/examples/updateWeatherNeo4j.jl:244-270): MERGE
+  * idempotency becomes dynamic partition overwrite; the ledger becomes
+  * a lineage Parquet table ANTI-joined on restart (SO4 in SURVEY §2.7).
+  */
+object Materialize {
+
+  val BucketCol = "part_bucket"
+
+  /** Deterministic partition bucket from the provenance key: co-locates
+    * a conversation's edges and bounds partition count independently of
+    * |conv_id| cardinality.
+    */
+  def withBucket(df: DataFrame, numBuckets: Int): DataFrame =
+    df.withColumn(BucketCol, pmod(xxhash64(col("conv_id")), lit(numBuckets)).cast("int"))
+
+  private def lineagePath(outDir: String) = s"$outDir/_lineage"
+
+  /** Buckets already written successfully (empty DF on first run). */
+  def completedBuckets(spark: SparkSession, outDir: String): DataFrame = {
+    import spark.implicits._
+    val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(lineagePath(outDir)).select($"bucket")
+    else Seq.empty[Int].toDF("bucket")
+  }
+
+  /** Write `edges` partitioned by bucket, skipping buckets recorded in
+    * the lineage table (idempotent resume), then append lineage rows
+    * with row counters. Dynamic partition overwrite means a crashed
+    * write of bucket b is cleanly redone — never duplicated.
+    *
+    * @return number of buckets written this invocation
+    */
+  def writeEdges(
+      spark: SparkSession,
+      edges: DataFrame,
+      outDir: String,
+      numBuckets: Int = 32
+  ): Long = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val bucketed = withBucket(edges, numBuckets)
+    val done = completedBuckets(spark, outDir)
+    val pending = bucketed.join(
+      done.withColumnRenamed("bucket", BucketCol),
+      Seq(BucketCol),
+      "left_anti"
+    )
+
+    pending.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol)
+      .parquet(s"$outDir/edges")
+
+    // lineage + counter metrics per partition (north_rule)
+    val counters = pending
+      .groupBy(col(BucketCol).as("bucket"))
+      .agg(
+        count(lit(1)).as("rows"),
+        countDistinct($"conv_id").as("convs")
+      )
+      .withColumn("written_at", current_timestamp())
+    val n = counters.count()
+    if (n > 0) {
+      counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+    }
+    n
+  }
+
+  def writeVertices(vertices: DataFrame, outDir: String): Unit =
+    vertices.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vertices")
+
+  /** Graph counter metrics (reference: nv/ne at
+    * /root/reference/examples/saveToNeo4j.jl:52).
+    */
+  def stats(spark: SparkSession, outDir: String): (Long, Long) = {
+    val v = spark.read.parquet(s"$outDir/vertices").count()
+    val e = spark.read.parquet(s"$outDir/edges").count()
+    (v, e)
+  }
+}

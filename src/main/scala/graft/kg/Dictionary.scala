@@ -1,0 +1,128 @@
+package graft.kg
+
+import graft.util.Hashing._
+
+/** One known surface form of an entity.
+  *
+  * @param surfaceId   globally unique id of THIS surface form (the
+  *                    pre-canonicalization entity id)
+  * @param canonicalId ground-truth canonical group (= min surfaceId of
+  *                    the group); used only by tests/oracles — the
+  *                    pipeline must rediscover it via LSH + scoring + CC
+  * @param surface     the literal string as it appears in text
+  * @param entityType  person | org | location | product | concept
+  */
+final case class SurfaceForm(
+    surfaceId: Long,
+    canonicalId: Long,
+    surface: String,
+    entityType: String
+)
+
+/** Deterministic entity dictionary + predicate lexicon.
+  *
+  * Graft of the reference's external enrichment sources (Overpass road
+  * tags /root/reference/src/TCXParser.jl:153-181, weather dimension
+  * :267-318): a broadcast side dictionary joined against the fact
+  * stream. Every value is a pure function of (seed, entity index) so
+  * the same dictionary can be rebuilt identically on any executor and
+  * at any scale.
+  *
+  * Each canonical entity gets several surface variants (case variant,
+  * legal-suffix variant, single-char typo, abbreviation). Variants of
+  * the same entity share most character 3-grams (Jaccard well above
+  * 0.5); distinct entities draw from distinct word combinations
+  * (Jaccard well below 0.3) — this separation is what makes the
+  * LSH-blocked link-scoring join recover the grouping at P/R >= 0.95.
+  */
+object Dictionary {
+
+  val Predicates: Vector[(String, String)] = Vector(
+    "works_at" -> "works at",
+    "located_in" -> "is located in",
+    "partnered_with" -> "partnered with",
+    "acquired" -> "acquired",
+    "uses" -> "uses",
+    "reports_to" -> "reports to",
+    "member_of" -> "is a member of",
+    "founded" -> "founded"
+  )
+
+  private val First = Vector(
+    "Alder", "Birch", "Cobalt", "Delta", "Ember", "Falcon", "Granite",
+    "Harbor", "Iris", "Juniper", "Krypton", "Lumen", "Meridian", "Nimbus",
+    "Onyx", "Pinnacle", "Quartz", "Rowan", "Summit", "Tundra", "Obsidian",
+    "Vertex", "Willow", "Xenon", "Yarrow", "Zephyr", "Atlas", "Borealis",
+    "Cascade", "Drift", "Equinox", "Fjord", "Glacier", "Horizon"
+  )
+  // 4-char prefixes are all distinct (abbreviation variant clips to 4
+  // chars — distinct prefixes keep abbreviations unambiguous).
+  private val Second = Vector(
+    "Systems", "Dynamics", "Labs", "Analytics", "Networks", "Holdings",
+    "Industries", "Partners", "Logistics", "Robotics", "Energy",
+    "Materials", "Foundry", "Works", "Collective", "Institute", "Group",
+    "Technologies", "Ventures", "Solutions", "Biosciences", "Optics",
+    "Exchange", "Mills", "Terminal", "Observatory", "Archive", "Forge"
+  )
+  private val Types =
+    Vector("person", "org", "location", "product", "concept")
+
+  /** Number of surface variants per canonical entity. */
+  val VariantsPerEntity = 4
+
+  def canonicalName(seed: Long, e: Int): String = {
+    // Unique word pair per entity: multiply by a unit mod First*Second
+    // (gcd(331, 952) = 1) so consecutive entities don't share a first
+    // word; pairs stay distinct for e < 952, then a numeric suffix
+    // keeps names unique and shingle-distinct.
+    val grid = First.size * Second.size
+    val p = (e % grid) * 331 % grid
+    val f = First(p / Second.size)
+    val s = Second(p % Second.size)
+    val sfx = if (e >= grid) " " + (e / grid + 2) else ""
+    s"$f $s$sfx"
+  }
+
+  def entityType(e: Int): String = Types(e % Types.size)
+
+  /** All surface variants of entity e. surfaceId = e*VariantsPerEntity+v.
+    *
+    * Deliberately NO typo variants: a hash-chosen typo of a shared
+    * second word can coincide across entities ("Xenon Indutries" /
+    * "Falcon Indutries"), and two entities sharing an identical rare
+    * misspelling are indistinguishable to any string-only linker — the
+    * fixture would contradict its own ground truth. The abbreviation is
+    * the deliberately-hard fuzzy case instead.
+    */
+  def surfacesOf(seed: Long, e: Int): Vector[SurfaceForm] = {
+    val name = canonicalName(seed, e)
+    val tpe = entityType(e)
+    val canon = e.toLong * VariantsPerEntity // variant 0 is the canonical form
+    val parts = name.split(' ')
+    // Abbreviation must be unambiguous in running text: "Alder Dynam."
+    // can only be the abbreviation (a sentence-final "Alder Dynamics."
+    // tokenizes differently), but clipping a short word would reproduce
+    // the full name + period — use a prefix variant instead then.
+    val abbrev =
+      if (parts(1).length >= 7) parts(0) + " " + parts(1).take(5) + "."
+      else "The " + name
+    val variants = Vector(
+      name, // canonical
+      name.toLowerCase, // case variant (shingle-identical after fold)
+      abbrev,
+      name + " Inc" // legal-suffix variant
+    ).distinct
+    variants.zipWithIndex.map { case (s, v) =>
+      SurfaceForm(e.toLong * VariantsPerEntity + v, canon, s, tpe)
+    }
+  }
+
+  /** The full dictionary for `numEntities` canonical entities. Small
+    * enough to broadcast (the reference broadcasts its OSM tag
+    * dictionary the same way conceptually); at 10^8-surface scale this
+    * becomes a table and the trie is built per partition from a
+    * broadcast join slice — the API below stays the same.
+    */
+  def build(seed: Long, numEntities: Int): Vector[SurfaceForm] =
+    (0 until numEntities).flatMap(e => surfacesOf(seed, e)).toVector
+}

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.canon.ConnectedComponents
+import graft.extract.Mentions
+import graft.kg.SurfaceForm
+import graft.link.Linker
+import graft.model.{EdgeRow, Turn, VertexRow}
+
+/** End-to-end KG construction (the north_star pipeline):
+  *
+  *   turns --(broadcast trie, mapPartitions)--> mentions + raw triples
+  *   dictionary surfaces --(MinHash-LSH blocking + Jaccard scoring)--> link edges
+  *   link edges --(large-star/small-star CC)--> surface -> canonical map
+  *   raw triples x map --> canonical edges; dictionary x map --> vertices
+  *
+  * Shuffle inventory (what the 100-TB plan pays for):
+  *   - extraction: none (narrow mapPartitions over the scan)
+  *   - linking: over the surface VOCABULARY (|dict|, not |turns|):
+  *     one band-key shuffle + one pair-dedup shuffle + CC rounds
+  *   - canonicalization joins on triples: broadcast when the mapping is
+  *     small (it is: |dict| rows); shuffled-hash otherwise, and the
+  *     subj/obj joins reuse one partitioning
+  *   - vertices: groupBy(component) over |dict| rows
+  * Nothing shuffles the full turn stream except the final provenance
+  * sort, which is optional.
+  */
+object KGPipeline {
+
+  final case class Result(
+      vertices: Dataset[VertexRow],
+      edges: Dataset[EdgeRow],
+      // surface_id -> canonical entity id (covers every dict surface)
+      mapping: DataFrame
+  )
+
+  /** surface_id -> canonical id over the full dictionary: LSH blocking,
+    * exact scoring, CC, singletons mapped to themselves.
+    */
+  def canonicalMapping(
+      spark: SparkSession,
+      dict: Seq[SurfaceForm],
+      lsh: Linker.LshConfig
+  ): DataFrame = {
+    import spark.implicits._
+    val dictDf = spark
+      .createDataset(dict.map(s => (s.surfaceId, s.surface)))
+      .toDF("id", "surface")
+    val links = Linker.linkEdges(spark, dictDf, lsh)
+    val cc = ConnectedComponents.run(spark, links.toDF("src", "dst", "score"))
+    dictDf
+      .join(cc, Seq("id"), "left")
+      .select($"id", coalesce($"component", $"id").as("canonical"))
+  }
+
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      dict: Seq[SurfaceForm],
+      lsh: Linker.LshConfig = Linker.LshConfig()
+  ): Result = {
+    import spark.implicits._
+
+    val bc = spark.sparkContext.broadcast(dict.toArray)
+    val extraction = Mentions.extract(spark, turns, bc)
+
+    val rawTriples = extraction
+      .select(explode($"triples").as("t"))
+      .select($"t.subj", $"t.pred", $"t.obj", $"t.conv_id", $"t.turn_idx")
+
+    val mapping = canonicalMapping(spark, dict, lsh)
+    // |mapping| = |dict| — broadcast below ~1M surfaces, else let AQE
+    // pick (the mapping side is always the small one vs 10^12 triples).
+    val m = if (dict.size <= 1000000) broadcast(mapping) else mapping
+
+    val edges = rawTriples
+      .join(m.withColumnRenamed("id", "subj").withColumnRenamed("canonical", "csubj"), Seq("subj"))
+      .join(m.withColumnRenamed("id", "obj").withColumnRenamed("canonical", "cobj"), Seq("obj"))
+      .select(
+        $"csubj".as("subj"),
+        $"pred",
+        $"cobj".as("obj"),
+        $"conv_id",
+        $"turn_idx"
+      )
+      .as[EdgeRow]
+
+    // vertices: canonical groups of the dictionary, restricted to
+    // surfaces actually observed in the corpus (distinct over the
+    // mention vocabulary — small — not over the turn stream).
+    val observed = extraction
+      .select(explode($"mentions.entity_id").as("id"))
+      .distinct()
+    val dictDf = spark
+      .createDataset(dict.map(s => (s.surfaceId, s.surface, s.entityType)))
+      .toDF("id", "surface", "etype")
+    val vertices = dictDf
+      .join(m, Seq("id"))
+      .join(
+        observed.join(m, Seq("id")).select($"canonical").distinct(),
+        Seq("canonical"),
+        "left_semi"
+      )
+      .groupBy($"canonical".as("entity_id"))
+      .agg(
+        min_by($"etype", $"id").as("type"),
+        array_sort(collect_set($"surface")).as("aliases")
+      )
+      .as[VertexRow]
+
+    Result(vertices, edges, mapping)
+  }
+}
