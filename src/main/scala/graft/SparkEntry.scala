@@ -3,16 +3,26 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.functions.Geo
 import graft.kg.Dictionary
+import graft.ops.{Blocks, Sequences, Stats}
 import graft.pipeline.KGPipeline
 import graft.synth.{GenConfig, TranscriptGen}
+import graft.text.TextOps
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every `queries` entry maps a SURVEY §2 operator (or a
+  * training-data-pipeline operator) onto the driver's parquet tables;
+  * entries with a DuckDB-expressible semantics carry an `oracleSql`
+  * mirror (identical aliases + identical rounding, since the driver
+  * hash-compares values after sorting columns by name).
+  */
 object SparkEntry {
 
-  /** Corpus size scaled like the driver's sf dirs: sf0.001 -> small
-    * smoke corpus, sf0.1 -> bench-sized.
-    */
+  /** Corpus size scaled like the driver's sf dirs. */
   def genConfigFor(sfDir: String): GenConfig = {
     val sf = raw"sf([\d.]+)".r
       .findFirstMatchIn(sfDir)
@@ -36,12 +46,38 @@ object SparkEntry {
     KGPipeline.run(spark, turns, dict).edges.toDF()
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  private def read(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** events with engineered nulls (the driver tables are null-free;
+    * the imputation/missing-stats operators need some).
+    */
+  private def eventsWithNulls(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "events").select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      when(col("value") < 1.0, lit(null)).otherwise(col("value")).as("value_n"),
+      nullif(col("event_type"), lit("error")).as("etype_n")
+    )
+
+  /** documents unioned with deterministic mutated copies (exercises
+    * normalized / near-dup detection on a corpus with real duplicates).
+    */
+  private def docsWithCopies(s: SparkSession, dir: String): DataFrame = {
+    val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+    // copy A: case-mutated (normalized-exact dup); only for doc_id % 3 == 0
+    val caseCopy = d
+      .where(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text"))
+    d.union(caseCopy)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A3-flavor grouped aggregation profile over lineitem
+    // ---- A3-flavor grouped aggregation profile over lineitem
     "q_agg_pricing" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
-      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      read(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
@@ -49,25 +85,389 @@ object SparkEntry {
           count(lit(1)).as("n_rows")
         )
     }),
-    // KG pipeline edge table (non-SQL-expressible: LSH + CC inside);
-    // driver records rows-only check
+
+    // ---- W1: consecutive-record edges per session
+    "q_lead_edges" -> ((s, dir) =>
+      Sequences.leadEdges(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_id")),
+
+    // ---- A11: running sum along the session
+    "q_cumulative" -> ((s, dir) =>
+      Sequences
+        .cumulative(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value", "running_value")
+        .select(col("event_id"), col("user_id"), round(col("running_value"), 6).as("running_value"))),
+
+    // ---- W4+W5: transitions with gap filter and deltas
+    "q_transitions" -> ((s, dir) =>
+      Sequences
+        .transitions(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "ts", "value", 600L)
+        .select(
+          col("user_id"),
+          col("order_index"),
+          round(col("gap_seconds"), 6).as("gap_seconds"),
+          round(col("delta_value"), 6).as("delta_value")
+        )),
+
+    // ---- A1: per-session min/max/count
+    "q_minmax_sessions" -> ((s, dir) =>
+      read(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          round(min(col("value")), 6).as("min_value"),
+          round(max(col("value")), 6).as("max_value"),
+          min(col("ts")).as("first_ts"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events")
+        )),
+
+    // ---- A3: full stats profile (mean/median/std/min/max + string mode)
+    "q_stats_profile" -> ((s, dir) =>
+      Stats.profile(
+        read(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq("l_quantity", "l_extendedprice"),
+        Seq("l_linestatus")
+      )),
+
+    // ---- A5: per-column missing percentage (one pass)
+    "q_missing_pct" -> ((s, dir) =>
+      Stats.missingPct(eventsWithNulls(s, dir), Seq("value_n", "etype_n", "event_id"))),
+
+    // ---- A6: per-group median imputation with global fallback
+    "q_impute_median" -> ((s, dir) =>
+      Stats
+        .imputeGroupMedian(eventsWithNulls(s, dir), "event_type", "value_n", "value_imputed")
+        .select(col("event_id"), col("value_imputed"))),
+
+    // ---- A8: hotspot cells (grid quantize + countDistinct sessions)
+    "q_hotspot_cells" -> ((s, dir) =>
+      Blocks.hotspotCells(read(s, dir, "events"), "user_id", "value", 5.0, 20L)),
+
+    // ---- A9: hottest session (semi-join + argmax, deterministic ties)
+    "q_hottest_session" -> ((s, dir) =>
+      Blocks.hottestSession(read(s, dir, "events"), "user_id", "value", 5.0, 20L)),
+
+    // ---- A10: unique coverage (canonical distinct consecutive cell pairs)
+    "q_coverage" -> ((s, dir) =>
+      Sequences.uniqueCoverage(
+        read(s, dir, "events"),
+        "user_id",
+        Seq("ts", "event_id"),
+        Blocks.gridCell(col("value"), 5.0)
+      )),
+
+    // ---- A12: segment characteristics (conditional delta aggregates)
+    "q_segment_chars" -> ((s, dir) =>
+      Sequences.segmentCharacteristics(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value")),
+
+    // ---- O2: top event types with ties kept
+    "q_topk_ties" -> ((s, dir) => Stats.topWithTies(read(s, dir, "events"), "event_type")),
+
+    // ---- J2: engineered-key equi-join against a derived broadcast dim
+    "q_grid_hour_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events").withColumn("hour", date_trunc("hour", col("ts")))
+      val dim = ev.groupBy(col("hour")).agg(round(avg(col("value")), 6).as("hour_avg"))
+      Blocks
+        .gridHourJoin(ev, dim, Seq("hour"))
+        .select(col("event_id"), col("hour"), col("hour_avg"))
+    }),
+
+    // ---- J5: bounded proximity self-join (banded, no crossJoin)
+    "q_proximity_pairs" -> ((s, dir) =>
+      Blocks.proximitySelfJoin(read(s, dir, "supplier"), "s_suppkey", "s_acctbal", 50.0)),
+
+    // ---- SO4: anti-join resume (orders with no lineitem)
+    "q_anti_resume" -> ((s, dir) =>
+      Blocks.resumePending(
+        read(s, dir, "orders").select(col("o_orderkey")),
+        read(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+        Seq("o_orderkey")
+      )),
+
+    // ---- F1: haversine along derived coordinates, summed per session
+    "q_haversine_coverage" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+        .withColumn("lat", pmod(col("value") * 7.0, lit(120.0)) - 60.0)
+        .withColumn("lon", pmod(col("value") * 13.0, lit(300.0)) - 150.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      ev.withColumn("lat2", lead(col("lat"), 1).over(w))
+        .withColumn("lon2", lead(col("lon"), 1).over(w))
+        .where(col("lat2").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(
+          round(sum(Geo.haversineMeters(col("lat"), col("lon"), col("lat2"), col("lon2"))) / 1000.0, 3)
+            .as("coverage_km")
+        )
+    }),
+
+    // ---- dedup: exact (keep min id per identical text)
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(read(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        .select(col("doc_id"))),
+
+    // ---- dedup: normalized exact over corpus with mutated copies
+    "q_dedup_norm" -> ((s, dir) =>
+      Dedup.normalizedExact(docsWithCopies(s, dir), "doc_id", "text").select(col("doc_id"))),
+
+    // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
+    //      against the exact-Jaccard oracle in DedupSpec)
+    "q_dedup_minhash" -> ((s, dir) => {
+      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clipped = d
+        .where(col("doc_id") % 4 === 0)
+        .select(
+          (col("doc_id") + 200000).as("doc_id"),
+          // drop the last 3 words -> high-but-not-1.0 Jaccard
+          concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
+            .as("text")
+        )
+      Dedup.minhashNearDupPairs(s, d.union(clipped), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // ---- dedup: SimHash near-dup pairs (rows-only; spec-verified)
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))),
+
+    // ---- dedup: embedding-cosine near-dup pairs
+    "q_cosine_pairs" -> ((s, dir) =>
+      Dedup.cosinePairs(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25)),
+
+    // ---- ANN: brute-force cosine top-k (queries = label 0)
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"))
+      Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+    }),
+
+    // ---- ANN: LSH-bucketed variant (rows-only; recall spec-verified)
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"))
+      Ann.lshTopK(s, queries, emb, "vec_id", "embedding", 5)
+    }),
+
+    // ---- text analysis: token count, language ID, quality score
+    "q_text_stats" -> ((s, dir) =>
+      TextOps
+        .annotate(read(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("token_count"), col("lang_guess"), col("quality"))),
+
+    // ---- KG pipeline outputs (non-SQL-expressible: LSH + CC inside;
+    //      spec-verified against the generation oracle)
     "kg_edges" -> ((s, dir) => {
       val cfg = genConfigFor(dir).copy(numConvs = 300, numEntities = 120)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
       KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict).edges.toDF()
+    }),
+    "kg_vertices" -> ((s, dir) => {
+      val cfg = genConfigFor(dir).copy(numConvs = 300, numEntities = 120)
+      val dict = Dictionary.build(cfg.seed, cfg.numEntities)
+      KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict).vertices.toDF()
+        .select(col("entity_id"), col("type"), concat_ws("|", col("aliases")).as("aliases"))
     })
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
-  def oracleSql: Map[String, String] = Map(
-    "q_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
-        |  round(avg(l_discount), 6) AS avg_disc,
-        |  count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
-  )
+  /** DuckDB mirrors. Aliases and rounding match the Spark side exactly. */
+  def oracleSql: Map[String, String] = {
+    val markers = TextOps.LangMarkers
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split_regex(lower(text), '\\s+'), x -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], x)))"
+    val langCase = {
+      val scores = markers.map { case (l, ms) => s"${hits(ms)}" }
+      val best = s"greatest(${scores.mkString(",")})"
+      val whens = markers.zip(scores).map { case ((l, _), sc) => s"WHEN $sc = best AND $sc > 0 THEN '$l'" }
+      (scores, best, whens)
+    }
+
+    Map(
+      "q_agg_pricing" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+          |  round(avg(l_discount), 6) AS avg_disc,
+          |  count(*) AS n_rows
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+      "q_lead_edges" ->
+        """SELECT user_id, src, dst FROM (
+          |  SELECT user_id, event_id AS src,
+          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+      "q_cumulative" ->
+        """SELECT event_id, user_id,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+          |FROM events""".stripMargin,
+      "q_transitions" ->
+        """SELECT user_id, order_index,
+          |  round(gap_seconds, 6) AS gap_seconds,
+          |  round(to_value - from_value, 6) AS delta_value
+          |FROM (
+          |  SELECT user_id, ts AS from_ts, value AS from_value,
+          |    lead(ts) OVER w AS to_ts, lead(value) OVER w AS to_value,
+          |    row_number() OVER w AS order_index,
+          |    epoch(lead(ts) OVER w) - epoch(ts) AS gap_seconds
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |WHERE to_ts IS NOT NULL AND gap_seconds <= 600""".stripMargin,
+      "q_minmax_sessions" ->
+        """SELECT user_id, round(min(value), 6) AS min_value,
+          |  round(max(value), 6) AS max_value,
+          |  min(ts) AS first_ts, max(ts) AS last_ts, count(*) AS n_events
+          |FROM events GROUP BY user_id""".stripMargin,
+      "q_stats_profile" ->
+        """WITH base AS (
+          |  SELECT l_returnflag,
+          |    round(avg(l_quantity), 6) AS l_quantity_mean,
+          |    round(quantile_cont(l_quantity, 0.5), 6) AS l_quantity_median,
+          |    round(stddev_samp(l_quantity), 6) AS l_quantity_std,
+          |    round(min(l_quantity), 6) AS l_quantity_min,
+          |    round(max(l_quantity), 6) AS l_quantity_max,
+          |    round(avg(l_extendedprice), 6) AS l_extendedprice_mean,
+          |    round(quantile_cont(l_extendedprice, 0.5), 6) AS l_extendedprice_median,
+          |    round(stddev_samp(l_extendedprice), 6) AS l_extendedprice_std,
+          |    round(min(l_extendedprice), 6) AS l_extendedprice_min,
+          |    round(max(l_extendedprice), 6) AS l_extendedprice_max,
+          |    count(*) AS n_rows
+          |  FROM lineitem GROUP BY l_returnflag),
+          |modes AS (
+          |  SELECT l_returnflag, l_linestatus AS l_linestatus_mode FROM (
+          |    SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+          |      row_number() OVER (PARTITION BY l_returnflag ORDER BY count(*) DESC, l_linestatus ASC) AS rn
+          |    FROM lineitem GROUP BY l_returnflag, l_linestatus) WHERE rn = 1)
+          |SELECT base.*, modes.l_linestatus_mode FROM base JOIN modes USING (l_returnflag)""".stripMargin,
+      "q_missing_pct" ->
+        """WITH src AS (
+          |  SELECT event_id,
+          |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n,
+          |    nullif(event_type, 'error') AS etype_n
+          |  FROM events)
+          |SELECT 'value_n' AS column_name, round(avg(CASE WHEN value_n IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) AS missing_pct FROM src
+          |UNION ALL
+          |SELECT 'etype_n', round(avg(CASE WHEN etype_n IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) FROM src
+          |UNION ALL
+          |SELECT 'event_id', round(avg(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) FROM src""".stripMargin,
+      "q_impute_median" ->
+        """SELECT event_id,
+          |  round(coalesce(value_n,
+          |    median(value_n) OVER (PARTITION BY event_type),
+          |    median(value_n) OVER ()), 6) AS value_imputed
+          |FROM (
+          |  SELECT event_id, event_type,
+          |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n
+          |  FROM events)""".stripMargin,
+      "q_hotspot_cells" ->
+        """SELECT cell, count(DISTINCT user_id) AS n_sessions
+          |FROM (SELECT user_id, CAST(floor(value / 5.0) AS BIGINT) AS cell FROM events)
+          |GROUP BY cell HAVING count(DISTINCT user_id) >= 20""".stripMargin,
+      "q_hottest_session" ->
+        """WITH hot AS (
+          |  SELECT cell FROM (SELECT CAST(floor(value / 5.0) AS BIGINT) AS cell, user_id FROM events)
+          |  GROUP BY cell HAVING count(DISTINCT user_id) >= 20)
+          |SELECT user_id, count(*) AS hot_points
+          |FROM (SELECT user_id, CAST(floor(value / 5.0) AS BIGINT) AS cell FROM events) e
+          |WHERE cell IN (SELECT cell FROM hot)
+          |GROUP BY user_id ORDER BY hot_points DESC, user_id ASC LIMIT 1""".stripMargin,
+      "q_coverage" ->
+        """SELECT DISTINCT least(cell, next_cell) AS cell_a, greatest(cell, next_cell) AS cell_b
+          |FROM (
+          |  SELECT user_id, CAST(floor(value / 5.0) AS BIGINT) AS cell,
+          |    lead(CAST(floor(value / 5.0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_cell
+          |  FROM events)
+          |WHERE next_cell IS NOT NULL AND next_cell <> cell""".stripMargin,
+      "q_segment_chars" ->
+        """SELECT user_id,
+          |  round(sum(CASE WHEN delta > 0 THEN delta ELSE 0 END), 6) AS total_ascent,
+          |  round(sum(CASE WHEN delta < 0 THEN -delta ELSE 0 END), 6) AS total_descent,
+          |  round(sum(abs(delta)), 6) AS total_variation,
+          |  round(max(delta), 6) AS max_delta,
+          |  count(*) AS n_pairs
+          |FROM (
+          |  SELECT user_id,
+          |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) - value AS delta
+          |  FROM events)
+          |WHERE delta IS NOT NULL GROUP BY user_id""".stripMargin,
+      "q_topk_ties" ->
+        """WITH counted AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type)
+          |SELECT event_type, cnt FROM counted WHERE cnt = (SELECT max(cnt) FROM counted)""".stripMargin,
+      "q_grid_hour_join" ->
+        """WITH ev AS (SELECT event_id, date_trunc('hour', ts) AS hour, value FROM events),
+          |dim AS (SELECT hour, round(avg(value), 6) AS hour_avg FROM ev GROUP BY hour)
+          |SELECT ev.event_id, ev.hour, dim.hour_avg FROM ev JOIN dim USING (hour)""".stripMargin,
+      "q_proximity_pairs" ->
+        """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+          |  round(abs(a.s_acctbal - b.s_acctbal), 6) AS dist
+          |FROM supplier a JOIN supplier b
+          |  ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) <= 50.0""".stripMargin,
+      "q_anti_resume" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+      "q_haversine_coverage" ->
+        """WITH pts AS (
+          |  SELECT user_id, ts, event_id,
+          |    (((value * 7.0) % 120.0 + 120.0) % 120.0) - 60.0 AS lat,
+          |    (((value * 13.0) % 300.0 + 300.0) % 300.0) - 150.0 AS lon
+          |  FROM events),
+          |pairs AS (
+          |  SELECT user_id, lat, lon,
+          |    lead(lat) OVER w AS lat2, lead(lon) OVER w AS lon2
+          |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          |SELECT user_id,
+          |  round(sum(2.0 * 6371000.0 * atan2(
+          |    sqrt(pow(sin(radians(lat2 - lat) / 2), 2)
+          |      + cos(radians(lat)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon) / 2), 2)),
+          |    sqrt(1.0 - (pow(sin(radians(lat2 - lat) / 2), 2)
+          |      + cos(radians(lat)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon) / 2), 2)))
+          |  )) / 1000.0, 3) AS coverage_km
+          |FROM pairs WHERE lat2 IS NOT NULL GROUP BY user_id""".stripMargin,
+      "q_dedup_exact" ->
+        """SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1""".stripMargin,
+      "q_dedup_norm" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 100000, upper(text) FROM documents WHERE doc_id % 3 = 0),
+          |normed AS (
+          |  SELECT doc_id,
+          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm
+          |  FROM corpus)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+          |  FROM normed) WHERE rn = 1""".stripMargin,
+      "q_cosine_pairs" ->
+        """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.25""".stripMargin,
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 20),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.q_vec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+          |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+          |SELECT query_id, neighbor_id, cosine, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 5""".stripMargin,
+      "q_text_stats" -> {
+        val (scores, best, whens) = langCase
+        s"""SELECT doc_id,
+           |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count,
+           |  CASE ${whens.mkString(" ")} ELSE 'unknown' END AS lang_guess,
+           |  round(
+           |    (CASE WHEN len(text) < 20 THEN len(text) / 20.0 WHEN len(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
+           |    + (CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / len(text) ELSE 0.0 END) * 0.4
+           |    + (CASE WHEN token_count > 0 THEN least(${hits(markers.flatMap(_._2))} * 1.0 / token_count * 4.0, 1.0) ELSE 0.0 END) * 0.3
+           |  , 6) AS quality
+           |FROM (SELECT doc_id, text,
+           |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count,
+           |  $best AS best FROM documents)""".stripMargin
+      }
+    )
+  }
 }

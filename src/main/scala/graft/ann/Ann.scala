@@ -1,0 +1,114 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup.cosineCol
+import graft.util.Hashing
+
+/** Approximate nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k (broadcast the query side — the
+  * correct plan when |queries| << |corpus|; the corpus is scanned once,
+  * never shuffled). Scale path: sign-random-projection LSH bucketing
+  * (Charikar 2002): corpus rows hash into 2^p hyperplane-sign buckets;
+  * queries probe their own bucket (+ optional multi-probe neighbors),
+  * turning the crossJoin into an equi-join.
+  */
+object Ann {
+
+  /** Brute-force exact cosine top-k per query. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineCol(col("q_vec"), col("c_vec")), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: component j of plane p is a
+    * unit-hash-derived value in [-1, 1).
+    */
+  private def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => Hashing.toUnit(Hashing.mix3(seed, p.toLong, j.toLong)) * 2 - 1)
+
+  /** Sign-random-projection bucket id of a vector. */
+  def srpBucket(vec: Array[Float], planes: Array[Array[Double]]): Int = {
+    var b = 0
+    var p = 0
+    while (p < planes.length) {
+      var dot = 0.0
+      val pl = planes(p)
+      var j = 0
+      while (j < vec.length && j < pl.length) { dot += vec(j) * pl(j); j += 1 }
+      if (dot >= 0) b |= (1 << p)
+      p += 1
+    }
+    b
+  }
+
+  /** LSH-bucketed ANN top-k: L independent SRP tables of p planes each
+    * (the classic recall amplification: one p-plane table collides
+    * near-orthogonal neighbors with prob ~cos-angle^p; L tables give
+    * 1-(1-r)^L). Equi-join on (table, bucket), exact cosine within the
+    * bucket, pair-dedup across tables. Cost knob: the corpus is
+    * emitted L times (narrow rows); recall knob: multi-probe flips
+    * each plane bit of the query's bucket.
+    */
+  def lshTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numPlanes: Int = 4,
+      numTables: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      multiProbe: Boolean = true
+  ): DataFrame = {
+    import spark.implicits._
+    val pls = Array.tabulate(numTables, numPlanes)((t, p) =>
+      hyperplane(seed, t * numPlanes + p, dim)
+    )
+    val bc = spark.sparkContext.broadcast(pls)
+
+    val c = corpus
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        bc.value.indices.iterator.map(t => (id, v, t, srpBucket(v, bc.value(t))))
+      }
+      .toDF("neighbor_id", "c_vec", "table", "bucket")
+
+    val q = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) =>
+        bc.value.indices.iterator.flatMap { t =>
+          val b = srpBucket(v, bc.value(t))
+          val probes =
+            if (multiProbe) b +: Array.tabulate(numPlanes)(p => b ^ (1 << p))
+            else Array(b)
+          probes.distinct.iterator.map(pb => (id, v, t, pb))
+        }
+      }
+      .toDF("query_id", "q_vec", "table", "bucket")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    q.join(c, Seq("table", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosineCol(col("q_vec"), col("c_vec")), 6))
+      // a (query, neighbor) pair can meet in several probed buckets
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}

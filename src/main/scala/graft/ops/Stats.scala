@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{NumericType, StringType}
+
+/** Statistical profiling, imputation and schema-cleaning operators —
+  * the reference's DataPreprocessing module re-expressed as
+  * metadata-driven selects and single-pass aggregates.
+  * SURVEY §2.4 A3/A5/A6, §2.10 M1-M4.
+  */
+object Stats {
+
+  /** A3: full stats profile per group
+    * (/root/reference/src/DataPreprocessing.jl:178-274): mean, exact
+    * median, sample stddev, min, max per numeric column; deterministic
+    * mode per string column; count + countDistinct. Exact `percentile`
+    * (not approx) for oracle parity; swap to `percentile_approx` at
+    * 10^12-row scale with documented epsilon.
+    */
+  def profile(df: DataFrame, groupCols: Seq[String], numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    val numAggs = numCols.flatMap { c =>
+      Seq(
+        round(avg(col(c)), 6).as(s"${c}_mean"),
+        round(expr(s"percentile($c, 0.5)"), 6).as(s"${c}_median"),
+        round(stddev_samp(col(c)), 6).as(s"${c}_std"),
+        round(min(col(c)), 6).as(s"${c}_min"),
+        round(max(col(c)), 6).as(s"${c}_max")
+      )
+    }
+    val cntAggs = Seq(count(lit(1)).as("n_rows"))
+    val base = df.groupBy(groupCols.map(col): _*).agg((numAggs ++ cntAggs).head, (numAggs ++ cntAggs).tail: _*)
+    // deterministic mode per string col: max count, tie-break smallest
+    // value — identical rule on the oracle side
+    strCols.foldLeft(base) { (acc, c) =>
+      val counted = df
+        .groupBy((groupCols :+ c).map(col): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window
+        .partitionBy(groupCols.map(col): _*)
+        .orderBy(col("cnt").desc, col(c).asc)
+      val modes = counted
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select((groupCols.map(col) :+ col(c).as(s"${c}_mode")): _*)
+      acc.join(modes, groupCols)
+    }
+  }
+
+  /** A5: per-column null percentage in ONE pass
+    * (/root/reference/src/DataPreprocessing.jl:90-92). Output: one row
+    * per column (column_name, missing_pct).
+    */
+  def missingPct(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.map(c =>
+      round(avg(when(col(c).isNull, 1.0).otherwise(0.0)) * 100, 6).as(c)
+    )
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot to (column_name, missing_pct)
+    row.select(
+      explode(
+        array(cols.map(c => struct(lit(c).as("column_name"), col(c).as("missing_pct"))): _*)
+      ).as("kv")
+    ).select(col("kv.column_name"), col("kv.missing_pct"))
+  }
+
+  /** A6: per-group median imputation with global-median fallback
+    * (/root/reference/src/DataPreprocessing.jl:101-135).
+    */
+  def imputeGroupMedian(df: DataFrame, groupCol: String, valueCol: String, as: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    val wg = Window.partitionBy(lit(1))
+    df.withColumn("_grp_med", expr(s"percentile($valueCol, 0.5)").over(w))
+      .withColumn("_glob_med", expr(s"percentile($valueCol, 0.5)").over(wg))
+      .withColumn(as, round(coalesce(col(valueCol), col("_grp_med"), col("_glob_med")), 6))
+      .drop("_grp_med", "_glob_med")
+  }
+
+  /** M1/M2: drop columns whose missing percentage exceeds `threshold`
+    * (100.0 = only fully-missing). Two jobs: one stats pass, one
+    * metadata-driven select — never a per-column job.
+    */
+  def dropHighMissing(df: DataFrame, threshold: Double): DataFrame = {
+    val cols = df.columns.toSeq
+    val pct = missingPct(df, cols).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val keep = cols.filter(c => pct(c) < threshold)
+    df.select(keep.map(col): _*)
+  }
+
+  /** M3: drop string columns that are constant `unknown`
+    * (/root/reference/src/DataPreprocessing.jl:137-148).
+    */
+  def dropConstantUnknown(df: DataFrame): DataFrame = {
+    val strCols = df.schema.fields.collect { case f if f.dataType == StringType => f.name }.toSeq
+    if (strCols.isEmpty) df
+    else {
+      val aggs = strCols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max")))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      val drop = strCols.filter { c =>
+        r.getAs[String](s"${c}_min") == "unknown" && r.getAs[String](s"${c}_max") == "unknown"
+      }
+      df.drop(drop: _*)
+    }
+  }
+
+  /** M4: type-directed default backstop
+    * (/root/reference/src/DataPreprocessing.jl:150-163).
+    */
+  def fillDefaults(df: DataFrame): DataFrame = {
+    val (numCols, strCols) = df.schema.fields.partition(_.dataType.isInstanceOf[NumericType])
+    df.na
+      .fill(0.0, numCols.map(_.name))
+      .na.fill("unknown", strCols.filter(_.dataType == StringType).map(_.name))
+  }
+
+  /** O2: top value(s) by count, keeping ties at the max
+    * (/root/reference/examples/case_study_1.jl:98-126).
+    */
+  def topWithTies(df: DataFrame, keyCol: String): DataFrame = {
+    val counted = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val mx = counted.agg(max(col("cnt")).as("mx"))
+    counted.join(broadcast(mx), counted("cnt") === mx("mx")).select(col(keyCol), col("cnt"))
+  }
+}

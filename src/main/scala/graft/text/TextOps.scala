@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * heuristic language ID, quality scoring, document fingerprinting.
+  * Everything except the fingerprint is a pure Column expression
+  * (codegen'd, no UDF); the fingerprint is a typed map (rolling hash
+  * needs per-char state).
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Word-ish token count with a BPE-ish regex (letters / digits /
+    * single punctuation runs count separately) — the "token budget"
+    * estimator of data pipelines.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(
+      filter(
+        split(text, "(?<=[^A-Za-z0-9])|(?=[^A-Za-z0-9])"),
+        t => length(trim(t)) > 0
+      )
+    )
+
+  /** Marker words per language for the heuristic language ID. Tiny by
+    * design: the operator shape (per-language evidence count + argmax)
+    * is what scales, the lexicon is a pluggable dimension.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "del", "que"),
+    "it" -> Seq("il", "di", "che", "per", "con", "una", "sono", "della")
+  )
+
+  private def markerHits(text: Column, markers: Seq[String]): Column = {
+    val arr = array(markers.map(lit): _*)
+    size(filter(split(lower(text), "\\s+"), t => array_contains(arr, t)))
+  }
+
+  /** Heuristic language ID: per-language stopword evidence, argmax with
+    * deterministic first-wins tie-break ("und" if nothing matches ->
+    * "unknown").
+    */
+  def langId(text: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => (lang, markerHits(text, ms)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Quality score in [0,1]: length band + alpha ratio + stopword
+    * presence — the length/punct/stopword heuristics of C4/Gopher-style
+    * data filtering, as one arithmetic expression.
+    */
+  def qualityScore(text: Column): Column = {
+    val len = length(text).cast("double")
+    val lenScore =
+      when(len < 20, len / 20.0).when(len > 2000, lit(0.5)).otherwise(lit(1.0))
+    val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val stop = markerHits(text, LangMarkers.flatMap(_._2)).cast("double")
+    val tokens = tokenCount(text).cast("double")
+    val stopRatio = when(tokens > 0, least(stop / tokens * 4.0, lit(1.0))).otherwise(lit(0.0))
+    round(lenScore * 0.3 + alphaRatio * 0.4 + stopRatio * 0.3, 6)
+  }
+
+  /** Normalization used before fingerprinting / exact dedup:
+    * lowercase, strip non-alphanumerics, collapse whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
+
+  /** Deterministic 64-bit document fingerprint over the normalized
+    * text (driver-side twin of the distributed column below; used by
+    * tests).
+    */
+  def fingerprint64(s: String): Long = Hashing.hashString(s)
+
+  /** Fingerprint as a column: xxhash64 of the normalized text —
+    * consistent within the engine (cross-engine comparisons go through
+    * the normalized text itself, not the hash).
+    */
+  def fingerprintCol(text: Column): Column = xxhash64(normalized(text))
+
+  /** SimHash-64 over word features: per-bit majority vote of feature
+    * hashes (Charikar 2002). Near-duplicates differ in few bits.
+    */
+  def simhash64(tokens: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    for (t <- tokens) {
+      val h = Hashing.hashString(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Add (token_count, lang, quality, fingerprint) columns in one
+    * narrow pass.
+    */
+  def annotate(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("lang_guess", langId(col(textCol)))
+      .withColumn("quality", qualityScore(col(textCol)))
+      .withColumn("fingerprint", fingerprintCol(col(textCol)))
+}

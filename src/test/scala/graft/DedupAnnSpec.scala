@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.text.TextOps
+
+class DedupAnnSpec extends SparkSpec {
+
+  private val docs = "/root/testdata/sf0.001/documents.parquet"
+  private val embs = "/root/testdata/sf0.001/embeddings.parquet"
+
+  /** corpus with clipped near-dup copies, as in SparkEntry.q_dedup_minhash */
+  private def corpusWithClips = {
+    val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
+    val clipped = d
+      .where(col("doc_id") % 4 === 0)
+      .select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
+          .as("text")
+      )
+    d.union(clipped)
+  }
+
+  test("minhash near-dup pairs: no false positives, recall >= 0.95 vs exact jaccard") {
+    import spark.implicits._
+    val c = corpusWithClips
+    val got = Dedup
+      .minhashNearDupPairs(spark, c, "doc_id", "text", 3, 0.6)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val want = Dedup
+      .exactJaccardPairs(spark, c, "doc_id", "text", 3, 0.6)
+      .select($"id_a", $"id_b")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    assert(want.nonEmpty, "fixture produced no true near-dup pairs")
+    assert(got.subsetOf(want), s"false positives: ${(got -- want).take(5)}")
+    val recall = (got & want).size.toDouble / want.size
+    info(f"lsh pairs=${got.size} exact pairs=${want.size} recall=$recall%.4f")
+    assert(recall >= 0.95)
+  }
+
+  test("simhash blocking has 100% recall at its hamming radius (pigeonhole)") {
+    import spark.implicits._
+    val c = corpusWithClips
+    val got = Dedup
+      .simhashNearDupPairs(spark, c, "doc_id", "text", 3)
+      .as[(Long, Long, Int)]
+      .collect()
+    // brute-force oracle over all signature pairs
+    val sigs = c
+      .as[(Long, String)]
+      .collect()
+      .map { case (id, t) => (id, TextOps.simhash64(t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)) }
+    val want = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = TextOps.hamming64(sa, sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got.toSet == want, s"got=${got.length} want=${want.size}")
+    assert(want.nonEmpty)
+  }
+
+  test("ann lsh top-k achieves recall >= 0.6 vs brute force (multi-probe)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(embs)
+    val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(10)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Ann
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Ann
+      .lshTopK(spark, queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann lsh recall=$recall%.3f (${approx.size} approx vs ${exact.size} exact)")
+    assert(recall >= 0.6) // multi-probe SRP at 8 planes; knob documented in Ann
+  }
+
+  test("exact + normalized dedup survivors are originals and idempotent") {
+    import spark.implicits._
+    val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
+    val copy = d.select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text"))
+    val survivors = Dedup.normalizedExact(d.union(copy), "doc_id", "text")
+    assert(survivors.count() == d.count())
+    assert(survivors.where(col("doc_id") >= 100000).count() == 0)
+    // idempotence
+    assert(Dedup.normalizedExact(survivors, "doc_id", "text").count() == d.count())
+  }
+
+  test("text ops are deterministic and sane") {
+    assert(TextOps.fingerprint64("a b c") == TextOps.fingerprint64("a b c"))
+    assert(TextOps.simhash64(Seq("x", "y")) == TextOps.simhash64(Seq("x", "y")))
+    assert(TextOps.hamming64(0L, -1L) == 64)
+    // near-dup token lists give close simhashes
+    val t1 = (1 to 100).map(i => s"tok$i")
+    val t2 = t1.dropRight(2) :+ "tokX"
+    assert(TextOps.hamming64(TextOps.simhash64(t1), TextOps.simhash64(t2)) <= 12)
+  }
+}
