@@ -49,6 +49,18 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** One KG-pipeline run per sf dir, shared by the kg_* queries (a
+    * user materializes vertices+edges in one job; the memo mirrors
+    * that instead of rebuilding the pipeline per output table).
+    */
+  private val kgCache = scala.collection.concurrent.TrieMap.empty[String, KGPipeline.Result]
+  private def kgResult(s: SparkSession, dir: String): KGPipeline.Result =
+    kgCache.getOrElseUpdate(dir, {
+      val cfg = genConfigFor(dir)
+      val dict = Dictionary.build(cfg.seed, cfg.numEntities)
+      KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
+    })
+
   /** events with engineered nulls (the driver tables are null-free;
     * the imputation/missing-stats operators need some).
     */
@@ -259,17 +271,10 @@ object SparkEntry {
 
     // ---- KG pipeline outputs (non-SQL-expressible: LSH + CC inside;
     //      spec-verified against the generation oracle)
-    "kg_edges" -> ((s, dir) => {
-      val cfg = genConfigFor(dir).copy(numConvs = 300, numEntities = 120)
-      val dict = Dictionary.build(cfg.seed, cfg.numEntities)
-      KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict).edges.toDF()
-    }),
-    "kg_vertices" -> ((s, dir) => {
-      val cfg = genConfigFor(dir).copy(numConvs = 300, numEntities = 120)
-      val dict = Dictionary.build(cfg.seed, cfg.numEntities)
-      KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict).vertices.toDF()
-        .select(col("entity_id"), col("type"), concat_ws("|", col("aliases")).as("aliases"))
-    })
+    "kg_edges" -> ((s, dir) => kgResult(s, dir).edges.toDF()),
+    "kg_vertices" -> ((s, dir) =>
+      kgResult(s, dir).vertices.toDF()
+        .select(col("entity_id"), col("type"), concat_ws("|", col("aliases")).as("aliases")))
   )
 
   /** DuckDB mirrors. Aliases and rounding match the Spark side exactly. */

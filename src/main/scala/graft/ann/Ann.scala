@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Dedup.cosineCol
 import graft.util.Hashing
 
 /** Approximate nearest-neighbor search over an embedding column.
@@ -20,11 +19,16 @@ object Ann {
 
   /** Brute-force exact cosine top-k per query. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+    import graft.functions.VectorExpressions._
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .withColumn("q_n", vec_norm(col("q_vec")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
+      .withColumn("c_n", vec_norm(col("c_vec")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineCol(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", round(cosineWithNorms(col("q_vec"), col("c_vec"), col("q_n"), col("c_n")), 6))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
@@ -100,10 +104,11 @@ object Ann {
       }
       .toDF("query_id", "q_vec", "table", "bucket")
 
+    import graft.functions.VectorExpressions._
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
     q.join(c, Seq("table", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosineCol(col("q_vec"), col("c_vec")), 6))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
       // a (query, neighbor) pair can meet in several probed buckets
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(first(col("cosine")).as("cosine"))

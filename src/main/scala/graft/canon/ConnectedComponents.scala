@@ -22,11 +22,64 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges DataFrame with long columns (src, dst), undirected.
+    * @param driverLocalThreshold below this edge count the graph is
+    *        union-found on the driver (one collect instead of ~7
+    *        shuffle stages x N iterations — the reference's legitimate
+    *        tiny-graph-on-driver pattern, cf. BFS at
+    *        /root/reference/src/PathFinder.jl:92-148). The distributed
+    *        large-star/small-star path is the 10^9-edge route; both are
+    *        property-tested to agree.
     * @return DataFrame (id: Long, component: Long) covering every node
     *         that appears in `edges` (callers attach singletons via a
     *         left join + coalesce).
     */
-  def run(spark: SparkSession, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      maxIter: Int = 50,
+      driverLocalThreshold: Long = 1000000L
+  ): DataFrame = {
+    import spark.implicits._
+
+    // persist: the probe and the iteration loop both consume the edge
+    // set, and executeTake's incremental rounds would otherwise re-run
+    // the (possibly expensive) upstream DAG several times
+    val edgePairs = edges
+      .selectExpr("cast(src as long) src", "cast(dst as long) dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (driverLocalThreshold > 0) {
+        // limit-probe: only pay a full scan when clearly large
+        val sample = edgePairs.limit((driverLocalThreshold + 1).toInt).as[(Long, Long)].collect()
+        if (sample.length <= driverLocalThreshold) {
+          return runDriverLocal(spark, sample)
+        }
+      }
+      runDistributed(spark, edgePairs, maxIter)
+    } finally edgePairs.unpersist()
+  }
+
+  /** Weighted-union union-find on the driver. */
+  private def runDriverLocal(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+      r
+    }
+    for ((a, b) <- edges if a != b) {
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+    }
+    val nodes = edges.iterator.flatMap { case (a, b) => Iterator(a, b) }.toArray.distinct
+    spark.createDataset(nodes.map(n => (n, find(n))).toSeq).toDF("id", "component")
+  }
+
+  private def runDistributed(spark: SparkSession, edges: DataFrame, maxIter: Int): DataFrame = {
     import spark.implicits._
 
     def canonical(e: DataFrame): DataFrame =
@@ -67,8 +120,10 @@ object ConnectedComponents {
         .select($"n".as("src"), $"m".as("dst"))
 
       // ---- small-star: connect smaller-or-equal neighbors (and self)
-      // to the min of the smaller neighborhood.
-      val lsCanon = canonical(ls)
+      // to the min of the smaller neighborhood. Large-star output is
+      // already oriented (n > a >= m) — rename only, no re-canonical
+      // shuffle; duplicates are folded by the end-of-iteration distinct.
+      val lsCanon = ls.select($"src".as("u"), $"dst".as("v")).where($"u" =!= $"v")
       val sMins = lsCanon.groupBy($"u").agg(min($"v").as("m"))
       val ss = lsCanon
         .join(sMins, "u")

@@ -171,30 +171,24 @@ object Dedup {
       .where($"hamming" <= maxBits)
   }
 
-  /** Embedding cosine near-duplicate pairs: cosine >= threshold, as
-    * pure Column expressions (zip_with + aggregate — no UDF). Bounded
+  /** Embedding cosine near-duplicate pairs: cosine >= threshold via the
+    * codegen'd VectorDot expression, norms precomputed per side BEFORE
+    * the join (one array traversal per pair instead of three). Bounded
     * self-join: at test scale a crossJoin; the scale path buckets by
     * sign-random-projection first (see Ann.lshTopK).
     */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    import graft.functions.VectorExpressions._
+    val a = df
+      .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+      .withColumn("n_a", vec_norm(col("v_a")))
+    val b = df
+      .select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      .withColumn("n_b", vec_norm(col("v_b")))
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(cosineCol(col("v_a"), col("v_b")), 6))
+      .withColumn("cosine", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
-  }
-
-  /** Cosine similarity of two float-array columns as an expression. */
-  def cosineCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val dot = aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
-    dot / (na * nb)
   }
 }

@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ExprBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math.
+  *
+  * The higher-order-function formulation (`aggregate(zip_with(...))`)
+  * allocates an intermediate array per row and interprets the lambda —
+  * measured 32 s for 12.5M cosine pairs at sf0.1. These expressions
+  * generate a tight primitive loop inside whole-stage codegen (no
+  * allocation, no virtual calls), the preferred extension point per
+  * the engine design rules (custom Expression > UDF).
+  *
+  * Elements are read as float or double according to the input array
+  * type; accumulation is double either way (bit-compatible with
+  * DuckDB's `::DOUBLE[]` oracle arithmetic, which also folds
+  * sequentially left-to-right). Array elements are assumed non-null
+  * (embedding columns).
+  */
+object VectorExpressions {
+
+  private def elemGetter(t: DataType): String = t match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(DoubleType, _) => "getDouble"
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  private def elemRead(t: DataType, arr: ArrayData, i: Int): Double = t match {
+    case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+    case ArrayType(DoubleType, _) => arr.getDouble(i)
+    case other => throw new IllegalArgumentException(s"expected array<float|double>, got $other")
+  }
+
+  private def checkVecType(t: DataType, side: String): TypeCheckResult = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"$side must be array<float|double>, got $other")
+  }
+
+  /** dot(a, b) with double accumulation. */
+  case class VectorDot(left: Expression, right: Expression) extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecType(left.dataType, "left") match {
+        case TypeCheckResult.TypeCheckSuccess => checkVecType(right.dataType, "right")
+        case f => f
+      }
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += elemRead(left.dataType, x, i) * elemRead(right.dataType, y, i)
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val ga = elemGetter(left.dataType)
+        val gb = elemGetter(right.dataType)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double)$a.$ga($i) * (double)$b.$gb($i);
+           |}
+           |${ev.value} = $acc;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** L2 norm: sqrt(dot(v, v)). */
+  case class VectorNorm(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkVecType(child.dataType, "child")
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var acc = 0.0
+      var i = 0
+      while (i < x.numElements()) {
+        val v = elemRead(child.dataType, x, i)
+        acc += v * v
+        i += 1
+      }
+      math.sqrt(acc)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        val v = ctx.freshName("v")
+        val g = elemGetter(child.dataType)
+        s"""
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  double $v = (double)$a.$g($i);
+           |  $acc += $v * $v;
+           |}
+           |${ev.value} = java.lang.Math.sqrt($acc);
+           |""".stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def vec_dot(a: Column, b: Column): Column =
+    ExprBridge.column(VectorDot(ExprBridge.expression(a), ExprBridge.expression(b)))
+
+  def vec_norm(a: Column): Column =
+    ExprBridge.column(VectorNorm(ExprBridge.expression(a)))
+
+  /** cosine(a, b) given precomputed norms (precompute per side BEFORE a
+    * pair join: turns 3 array traversals per pair into 1).
+    */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    vec_dot(a, b) / (normA * normB)
+
+  /** cosine(a, b) standalone. */
+  def cosine(a: Column, b: Column): Column =
+    vec_dot(a, b) / (vec_norm(a) * vec_norm(b))
+}

@@ -85,6 +85,11 @@ object Dictionary {
 
   def entityType(e: Int): String = Types(e % Types.size)
 
+  // surfacesOf is called per generated turn (hot in synthesis); the
+  // variants of an entity are pure in (seed, e) -> memoize per JVM.
+  private val surfaceCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int), Vector[SurfaceForm]]
+
   /** All surface variants of entity e. surfaceId = e*VariantsPerEntity+v.
     *
     * Deliberately NO typo variants: a hash-chosen typo of a shared
@@ -94,7 +99,10 @@ object Dictionary {
     * fixture would contradict its own ground truth. The abbreviation is
     * the deliberately-hard fuzzy case instead.
     */
-  def surfacesOf(seed: Long, e: Int): Vector[SurfaceForm] = {
+  def surfacesOf(seed: Long, e: Int): Vector[SurfaceForm] =
+    surfaceCache.getOrElseUpdate((seed, e), surfacesOfUncached(seed, e))
+
+  private def surfacesOfUncached(seed: Long, e: Int): Vector[SurfaceForm] = {
     val name = canonicalName(seed, e)
     val tpe = entityType(e)
     val canon = e.toLong * VariantsPerEntity // variant 0 is the canonical form

@@ -42,11 +42,16 @@ object Linker {
     def numHashes: Int = numBands * rowsPerBand
   }
 
+  // precompiled (String.replaceAll/split compile their regex per call —
+  // measurable in the pair-scoring hot loop)
+  private val WsPattern = java.util.regex.Pattern.compile("\\s+")
+  private val NonAlnumPattern = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
   /** Normalized character k-shingles. Case-folded and
     * whitespace-collapsed so case variants are shingle-identical.
     */
   def shingles(s: String, k: Int): Array[Long] = {
-    val n = s.toLowerCase.replaceAll("\\s+", " ").trim
+    val n = WsPattern.matcher(s.toLowerCase).replaceAll(" ").trim
     if (n.length < k) Array(hashString(n))
     else {
       val set = scala.collection.mutable.LongMap.empty[Unit]
@@ -113,7 +118,7 @@ object Linker {
     Set("the", "inc", "corp", "ltd", "llc", "co", "gmbh")
 
   def tokensOf(s: String): Array[String] =
-    s.toLowerCase.split("[^a-z0-9]+").filter(t => t.nonEmpty && !StopTokens(t))
+    NonAlnumPattern.split(s.toLowerCase).filter(t => t.nonEmpty && !StopTokens(t))
 
   /** Entity-link score: MIN over informative tokens (both sides) of the
     * token's best match on the other side, where a token matches by
@@ -127,10 +132,20 @@ object Linker {
     * (/root/reference/src/Utils.jl:256-276): the exact scorer applied
     * after blocking.
     */
-  def tokenSim(a: String, b: String): Double = {
-    val ta = tokensOf(a)
-    val tb = tokensOf(b)
+  def tokenSim(a: String, b: String): Double =
+    tokenSimArr(tokensOf(a), tokensOf(b), collection.mutable.HashMap.empty)
+
+  /** tokenSim over pre-split token arrays with a caller-provided
+    * shingle memo (tokens repeat heavily across candidate pairs — a
+    * per-partition memo removes ~all shingle recomputation).
+    */
+  def tokenSimArr(
+      ta: Array[String],
+      tb: Array[String],
+      shingleMemo: collection.mutable.HashMap[String, Array[Long]]
+  ): Double = {
     if (ta.isEmpty || tb.isEmpty) return if (ta.isEmpty && tb.isEmpty) 1.0 else 0.0
+    def sh(t: String): Array[Long] = shingleMemo.getOrElseUpdate(t, shingles(t, 3))
     def one(t: String, other: Array[String]): Double = {
       var best = 0.0
       var i = 0
@@ -140,7 +155,7 @@ object Linker {
           if (t == o) 1.0
           else if (math.min(t.length, o.length) >= 4 &&
             (t.startsWith(o) || o.startsWith(t))) 0.9
-          else exactJaccard(shingles(t, 3), shingles(o, 3))
+          else exactJaccard(sh(t), sh(o))
         if (s > best) best = s
         i += 1
       }
@@ -197,16 +212,17 @@ object Linker {
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, s) =>
-          (id, s, signature(shingles(s, cfg.shingleK), cfg))
+          // tokenize once per surface; pairs downstream reuse the arrays
+          (id, tokensOf(s), signature(shingles(s, cfg.shingleK), cfg))
         }
       }
-      .toDF("id", "surface", "sig")
+      .toDF("id", "toks", "sig")
 
-    // one row per band: (band, bandHash, id, surface)
+    // one row per band: (band, bandHash, id, toks)
     val banded = withSig
       .select(
         $"id",
-        $"surface",
+        $"toks",
         explode(
           expr(
             s"transform(sequence(0, ${cfg.numBands - 1}), " +
@@ -214,10 +230,10 @@ object Linker {
           )
         ).as("bk")
       )
-      .select($"id", $"surface", $"bk.band", $"bk.bh")
+      .select($"id", $"toks", $"bk.band", $"bk.bh")
 
-    val l = banded.select($"band", $"bh", $"id".as("src"), $"surface".as("s_a"))
-    val r = banded.select($"band", $"bh", $"id".as("dst"), $"surface".as("s_b"))
+    val l = banded.select($"band", $"bh", $"id".as("src"), $"toks".as("t_a"))
+    val r = banded.select($"band", $"bh", $"id".as("dst"), $"toks".as("t_b"))
 
     val scored = l
       .join(r, Seq("band", "bh"))
@@ -225,9 +241,12 @@ object Linker {
       // a pair can collide in several bands — dedup before scoring so
       // the exact scorer runs once per pair
       .groupBy($"src", $"dst")
-      .agg(first($"s_a").as("s_a"), first($"s_b").as("s_b"))
-      .as[(Long, Long, String, String)]
-      .map { case (s, d, a, b) => LinkEdge(s, d, tokenSim(a, b)) }
+      .agg(first($"t_a").as("t_a"), first($"t_b").as("t_b"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .mapPartitions { it =>
+        val memo = collection.mutable.HashMap.empty[String, Array[Long]]
+        it.map { case (s, d, a, b) => LinkEdge(s, d, tokenSimArr(a, b, memo)) }
+      }
       .filter(_.score >= cfg.jaccardThreshold)
 
     scored

@@ -59,12 +59,22 @@ object KGPipeline {
       spark: SparkSession,
       turns: Dataset[Turn],
       dict: Seq[SurfaceForm],
-      lsh: Linker.LshConfig = Linker.LshConfig()
+      lsh: Linker.LshConfig = Linker.LshConfig(),
+      persistIntermediate: Boolean = true
   ): Result = {
     import spark.implicits._
 
     val bc = spark.sparkContext.broadcast(dict.toArray)
-    val extraction = Mentions.extract(spark, turns, bc)
+    val extraction0 = Mentions.extract(spark, turns, bc)
+    // Both output tables consume the extraction (edges need triples,
+    // vertices need the observed-mention vocabulary) — persist the
+    // narrow per-turn rows so the text scan runs once. At 10^12-turn
+    // scale this becomes a staging parquet/Iceberg table instead of a
+    // cache (same single-scan property, spill-free).
+    val extraction =
+      if (persistIntermediate)
+        extraction0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else extraction0
 
     val rawTriples = extraction
       .select(explode($"triples").as("t"))

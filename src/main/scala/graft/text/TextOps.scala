@@ -42,36 +42,45 @@ object TextOps {
     "it" -> Seq("il", "di", "che", "per", "con", "una", "sono", "della")
   )
 
-  private def markerHits(text: Column, markers: Seq[String]): Column = {
+  private def markerHitsTok(toks: Column, markers: Seq[String]): Column = {
     val arr = array(markers.map(lit): _*)
-    size(filter(split(lower(text), "\\s+"), t => array_contains(arr, t)))
+    size(filter(toks, t => array_contains(arr, t)))
   }
 
+  private def markerHits(text: Column, markers: Seq[String]): Column =
+    markerHitsTok(split(lower(text), "\\s+"), markers)
+
   /** Heuristic language ID: per-language stopword evidence, argmax with
-    * deterministic first-wins tie-break ("und" if nothing matches ->
-    * "unknown").
+    * deterministic first-wins tie-break ("unknown" if nothing matches).
     */
-  def langId(text: Column): Column = {
-    val scored = LangMarkers.map { case (lang, ms) => (lang, markerHits(text, ms)) }
+  def langId(text: Column): Column = langIdTok(split(lower(text), "\\s+"))
+
+  /** langId over a pre-split token array (share the split across
+    * consumers — the split dominates the cost of the annotate pass).
+    */
+  def langIdTok(toks: Column): Column = {
+    val scored = LangMarkers.map { case (lang, ms) => (lang, markerHitsTok(toks, ms)) }
     val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
-    val pick = scored.foldRight(lit("unknown")) { case ((lang, s), acc) =>
+    scored.foldRight(lit("unknown")) { case ((lang, s), acc) =>
       when(s === best && s > 0, lit(lang)).otherwise(acc)
     }
-    pick
   }
 
   /** Quality score in [0,1]: length band + alpha ratio + stopword
     * presence — the length/punct/stopword heuristics of C4/Gopher-style
     * data filtering, as one arithmetic expression.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    qualityScoreTok(text, split(lower(text), "\\s+"), tokenCount(text))
+
+  def qualityScoreTok(text: Column, toks: Column, tokens0: Column): Column = {
     val len = length(text).cast("double")
     val lenScore =
       when(len < 20, len / 20.0).when(len > 2000, lit(0.5)).otherwise(lit(1.0))
     val alpha = length(regexp_replace(text, "[^A-Za-z ]", "")).cast("double")
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
-    val stop = markerHits(text, LangMarkers.flatMap(_._2)).cast("double")
-    val tokens = tokenCount(text).cast("double")
+    val stop = markerHitsTok(toks, LangMarkers.flatMap(_._2)).cast("double")
+    val tokens = tokens0.cast("double")
     val stopRatio = when(tokens > 0, least(stop / tokens * 4.0, lit(1.0))).otherwise(lit(0.0))
     round(lenScore * 0.3 + alphaRatio * 0.4 + stopRatio * 0.3, 6)
   }
@@ -116,11 +125,13 @@ object TextOps {
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Add (token_count, lang, quality, fingerprint) columns in one
-    * narrow pass.
+    * narrow pass, splitting the text exactly once.
     */
   def annotate(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("token_count", tokenCount(col(textCol)))
-      .withColumn("lang_guess", langId(col(textCol)))
-      .withColumn("quality", qualityScore(col(textCol)))
+    df.withColumn("_toks", split(lower(col(textCol)), "\\s+"))
+      .withColumn("token_count", tokenCount(col(textCol)))
+      .withColumn("lang_guess", langIdTok(col("_toks")))
+      .withColumn("quality", qualityScoreTok(col(textCol), col("_toks"), col("token_count")))
       .withColumn("fingerprint", fingerprintCol(col(textCol)))
+      .drop("_toks")
 }
