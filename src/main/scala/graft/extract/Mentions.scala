@@ -4,7 +4,16 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Dataset, SparkSession}
 
 import graft.kg.{Dictionary, SurfaceForm}
-import graft.model.{Mention, RawTriple, Turn}
+import graft.model.Turn
+
+/** Mention span within one turn (conv/turn live on the parent row —
+  * duplicating them per mention would re-encode the conv_id string
+  * for every mention at 10^12-turn scale).
+  */
+final case class MentionSpan(entity_id: Long, surface: String, begin: Int, end: Int)
+
+/** Raw triple within one turn (provenance on the parent row). */
+final case class TripleSpan(subj: Long, pred: String, obj: Long)
 
 /** Per-turn extraction result: mentions + the raw (surface-id) triples
   * asserted by the turn. Kept as one row per turn so a single
@@ -14,8 +23,8 @@ import graft.model.{Mention, RawTriple, Turn}
 final case class Extraction(
     conv_id: String,
     turn_idx: Int,
-    mentions: Seq[Mention],
-    triples: Seq[RawTriple]
+    mentions: Seq[MentionSpan],
+    triples: Seq[TripleSpan]
 )
 
 /** Mention detection + triple extraction.
@@ -48,27 +57,50 @@ object Mentions {
 
   def extractTurn(ac: AhoCorasick, t: Turn): Extraction = {
     val ms = ac.findMentions(t.text)
-    val mentions = ms.map(m =>
-      Mention(t.conv_id, t.turn_idx, m.id, t.text.substring(m.begin, m.end), m.begin, m.end)
-    )
+    val mentions = new Array[MentionSpan](ms.length)
+    var i = 0
+    var cur = ms
+    while (cur.nonEmpty) {
+      val m = cur.head
+      mentions(i) = MentionSpan(m.id, t.text.substring(m.begin, m.end), m.begin, m.end)
+      i += 1
+      cur = cur.tail
+    }
     // adjacent mention pairs: between-text must be exactly a predicate
     // phrase (modulo surrounding whitespace) and contain no sentence
     // boundary — mirrors how the corpus renders assertions.
-    val triples = mentions
-      .sliding(2)
-      .collect {
-        case Seq(a, b) =>
-          val between = t.text.substring(a.end, b.begin)
-          if (!between.contains('.') && !between.contains(',')) {
-            PhraseToPred.get(stripPunct(between)).map { pred =>
-              RawTriple(a.entity_id, pred, b.entity_id, t.conv_id, t.turn_idx)
-            }
-          } else None
+    var triples = List.empty[TripleSpan]
+    i = mentions.length - 2
+    while (i >= 0) {
+      val a = mentions(i)
+      val b = mentions(i + 1)
+      val between = t.text.substring(a.end, b.begin)
+      if (!between.contains('.') && !between.contains(',')) {
+        PhraseToPred.get(stripPunct(between)) match {
+          case Some(pred) => triples = TripleSpan(a.entity_id, pred, b.entity_id) :: triples
+          case None =>
+        }
       }
-      .flatten
-      .toSeq
-    Extraction(t.conv_id, t.turn_idx, mentions, triples)
+      i -= 1
+    }
+    Extraction(t.conv_id, t.turn_idx, mentions.toSeq, triples)
   }
+
+  // One trie per (JVM, broadcast): the built trie is immutable, so all
+  // tasks of an executor share it. Rebuilding per task/partition is
+  // allocation-heavy enough (1 node-map per trie node) to invert
+  // scaling at high core counts — 32 concurrent builds contend on the
+  // allocator while 8 sail through.
+  private val trieCache =
+    scala.collection.concurrent.TrieMap.empty[Long, AhoCorasick]
+
+  private def trieFor(bc: Broadcast[Array[SurfaceForm]]): AhoCorasick =
+    trieCache.get(bc.id).getOrElse(synchronized {
+      trieCache.getOrElseUpdate(
+        bc.id,
+        AhoCorasick.build(bc.value.map(s => (s.surface, s.surfaceId)))
+      )
+    })
 
   /** One-pass extraction over the corpus. `bcSurfaces` is the broadcast
     * dictionary (alias -> surface id).
@@ -80,8 +112,7 @@ object Mentions {
   ): Dataset[Extraction] = {
     import spark.implicits._
     turns.mapPartitions { it =>
-      // Built once per partition; cost amortized over the partition.
-      val ac = AhoCorasick.build(bcSurfaces.value.map(s => (s.surface, s.surfaceId)))
+      val ac = trieFor(bcSurfaces)
       it.map(t => extractTurn(ac, t))
     }
   }

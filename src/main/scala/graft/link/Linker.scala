@@ -37,6 +37,14 @@ object Linker {
       // (an unmatched informative token caps the min) — 0.6 sits in
       // the separation gap with wide margin on both sides
       jaccardThreshold: Double = 0.6,
+      // hot-bucket cap: a band bucket holding > maxBucketSize surfaces
+      // is a stopword-like collision (shared common token), not a
+      // same-entity signal — its pair space is quadratic and its pairs
+      // nearly all fail the exact scorer. Dropping such buckets is the
+      // standard production-LSH skew mitigation; same-entity groups
+      // are tiny (#variants), so true-pair recall is untouched as long
+      // as the cap is comfortably above the variant count.
+      maxBucketSize: Int = 64,
       seed: Long = 42L
   ) {
     def numHashes: Int = numBands * rowsPerBand
@@ -232,8 +240,16 @@ object Linker {
       )
       .select($"id", $"toks", $"bk.band", $"bk.bh")
 
-    val l = banded.select($"band", $"bh", $"id".as("src"), $"toks".as("t_a"))
-    val r = banded.select($"band", $"bh", $"id".as("dst"), $"toks".as("t_b"))
+    // drop hot buckets before the self-join (see maxBucketSize doc)
+    val keepBuckets = banded
+      .groupBy($"band", $"bh")
+      .agg(count(lit(1)).as("sz"))
+      .where($"sz" <= cfg.maxBucketSize && $"sz" > 1)
+      .select($"band", $"bh")
+    val pruned = banded.join(keepBuckets, Seq("band", "bh"), "left_semi")
+
+    val l = pruned.select($"band", $"bh", $"id".as("src"), $"toks".as("t_a"))
+    val r = pruned.select($"band", $"bh", $"id".as("dst"), $"toks".as("t_b"))
 
     val scored = l
       .join(r, Seq("band", "bh"))

@@ -60,25 +60,28 @@ object KGPipeline {
       turns: Dataset[Turn],
       dict: Seq[SurfaceForm],
       lsh: Linker.LshConfig = Linker.LshConfig(),
-      persistIntermediate: Boolean = true
+      persistIntermediate: Boolean = false
   ): Result = {
     import spark.implicits._
 
     val bc = spark.sparkContext.broadcast(dict.toArray)
     val extraction0 = Mentions.extract(spark, turns, bc)
     // Both output tables consume the extraction (edges need triples,
-    // vertices need the observed-mention vocabulary) — persist the
-    // narrow per-turn rows so the text scan runs once. At 10^12-turn
-    // scale this becomes a staging parquet/Iceberg table instead of a
-    // cache (same single-scan property, spill-free).
+    // vertices need the observed-mention vocabulary). Default is to
+    // RECOMPUTE it per consumer: the extraction is a cheap narrow map
+    // (~2M turns/s/8 cores), while caching 10^7+ rows of nested
+    // array<struct> takes Spark's slow non-columnar cache path and
+    // measured ~10x the cost of a second scan. Opt into the cache only
+    // for small corpora with many downstream consumers; at 10^12-turn
+    // scale the equivalent is a staging parquet/Iceberg table.
     val extraction =
       if (persistIntermediate)
         extraction0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else extraction0
 
     val rawTriples = extraction
-      .select(explode($"triples").as("t"))
-      .select($"t.subj", $"t.pred", $"t.obj", $"t.conv_id", $"t.turn_idx")
+      .select($"conv_id", $"turn_idx", explode($"triples").as("t"))
+      .select($"t.subj", $"t.pred", $"t.obj", $"conv_id", $"turn_idx")
 
     val mapping = canonicalMapping(spark, dict, lsh)
     // |mapping| = |dict| — broadcast below ~1M surfaces, else let AQE

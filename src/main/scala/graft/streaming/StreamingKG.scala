@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.extract.{AhoCorasick, Mentions}
+import graft.kg.SurfaceForm
+import graft.model.{RawTriple, Turn}
+
+/** Structured-Streaming ingestion of the transcript stream.
+  *
+  * Triple extraction is stateless per turn (the trie scan needs no
+  * ordering), so it streams as a plain mapPartitions. The ORDER-
+  * dependent operator — consecutive-turn chain edges, the reference's
+  * edge construction (/root/reference/src/GraphBuilder.jl:109-111) —
+  * needs per-conversation state: turns may arrive out of order across
+  * micro-batches, so each conversation buffers pending turn indices
+  * and emits edge (i-1, i) exactly once, when i becomes contiguous
+  * with the emitted prefix. State is per-conv and bounded by the
+  * out-of-orderness window (pair with a watermark on ts in
+  * production).
+  */
+object StreamingKG {
+
+  final case class ChainEdge(conv_id: String, src_turn: Int, dst_turn: Int)
+
+  /** Per-conv state: next expected turn index + buffered early turns. */
+  final case class ConvState(nextExpected: Int, buffered: Set[Int])
+
+  def consecutiveEdges(
+      spark: SparkSession,
+      turns: Dataset[Turn]
+  ): Dataset[ChainEdge] = {
+    import spark.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[ConvState, ChainEdge](
+        OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()
+      ) { (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
+        val st = state.getOption.getOrElse(ConvState(0, Set.empty))
+        var buffered = st.buffered ++ rows.map(_.turn_idx)
+        var next = st.nextExpected
+        val out = scala.collection.mutable.ListBuffer.empty[ChainEdge]
+        while (buffered.contains(next)) {
+          if (next > 0) out += ChainEdge(convId, next - 1, next)
+          buffered -= next
+          next += 1
+        }
+        state.update(ConvState(next, buffered))
+        out.iterator
+      }
+  }
+
+  /** Stateless streaming triple extraction (same trie, same semantics
+    * as the batch path — shared code, one decode of the dictionary per
+    * executor).
+    */
+  def streamingTriples(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      bcSurfaces: Broadcast[Array[SurfaceForm]]
+  ): Dataset[RawTriple] = {
+    import spark.implicits._
+    Mentions.extract(spark, turns, bcSurfaces).flatMap { e =>
+      e.triples.map(t => RawTriple(t.subj, t.pred, t.obj, e.conv_id, e.turn_idx))
+    }
+  }
+}

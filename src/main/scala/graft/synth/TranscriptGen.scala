@@ -70,7 +70,16 @@ object TranscriptGen {
     else n
   }
 
-  def convId(convIdx: Long): String = f"conv_$convIdx%08d"
+  def convId(convIdx: Long): String = {
+    // manual zero-pad: String.format allocates a Formatter per call,
+    // measurable at 10^7 turns/sec generation rates
+    val d = convIdx.toString
+    val sb = new java.lang.StringBuilder(13)
+    sb.append("conv_")
+    var i = d.length
+    while (i < 8) { sb.append('0'); i += 1 }
+    sb.append(d).toString
+  }
 
   /** Zipf-ish skewed entity pick: cubing the uniform draw concentrates
     * mass on low entity indices (hot-entity head per FIXTURES.md §1).
@@ -85,9 +94,14 @@ object TranscriptGen {
     ss(toRange(h, ss.size))
   }
 
-  private def fillerPhrase(h0: Long, nMin: Int, nMax: Int): String = {
+  private def fillerInto(sb: java.lang.StringBuilder, h0: Long, nMin: Int, nMax: Int): Unit = {
     val n = nMin + toRange(mix64(h0), nMax - nMin + 1)
-    (0 until n).map(i => Filler(toRange(mix2(h0, i.toLong), Filler.size))).mkString(" ")
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(Filler(toRange(mix2(h0, i.toLong), Filler.size)))
+      i += 1
+    }
   }
 
   /** Pure per-turn content: the single source of truth shared by the
@@ -97,8 +111,7 @@ object TranscriptGen {
     val h = mix3(cfg.seed, convIdx, turnIdx.toLong)
     val wantTriple = toUnit(mix2(h, 1L)) < 0.45
     val wantLoneMention = toUnit(mix2(h, 2L)) < 0.25
-    val lead = fillerPhrase(mix2(h, 3L), 3, 8)
-    val tail = fillerPhrase(mix2(h, 4L), 2, 6)
+    val sb = new java.lang.StringBuilder(192)
 
     if (wantTriple) {
       val eA = pickEntity(cfg, mix2(h, 5L))
@@ -108,15 +121,26 @@ object TranscriptGen {
       val sB = pickSurface(cfg, eB, mix2(h, 8L))
       val (predId, phrase) =
         Dictionary.Predicates(toRange(mix2(h, 9L), Dictionary.Predicates.size))
-      val text = s"$lead. ${sA.surface} $phrase ${sB.surface}. $tail."
-      TurnContent(text, Some((sA, predId, sB)), Vector(sA, sB))
+      fillerInto(sb, mix2(h, 3L), 3, 8)
+      sb.append(". ").append(sA.surface).append(' ').append(phrase)
+        .append(' ').append(sB.surface).append(". ")
+      fillerInto(sb, mix2(h, 4L), 2, 6)
+      sb.append('.')
+      TurnContent(sb.toString, Some((sA, predId, sB)), Vector(sA, sB))
     } else if (wantLoneMention) {
       val e = pickEntity(cfg, mix2(h, 10L))
       val s = pickSurface(cfg, e, mix2(h, 11L))
-      val text = s"$lead ${s.surface} $tail."
-      TurnContent(text, None, Vector(s))
+      fillerInto(sb, mix2(h, 3L), 3, 8)
+      sb.append(' ').append(s.surface).append(' ')
+      fillerInto(sb, mix2(h, 4L), 2, 6)
+      sb.append('.')
+      TurnContent(sb.toString, None, Vector(s))
     } else {
-      TurnContent(s"$lead $tail.", None, Vector.empty)
+      fillerInto(sb, mix2(h, 3L), 3, 8)
+      sb.append(' ')
+      fillerInto(sb, mix2(h, 4L), 2, 6)
+      sb.append('.')
+      TurnContent(sb.toString, None, Vector.empty)
     }
   }
 
