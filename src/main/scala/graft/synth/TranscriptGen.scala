@@ -187,6 +187,12 @@ object TranscriptGen {
       }
   }
 
+  /** Driver-local corpus for small fixtures (streaming tests etc.). */
+  def transcriptsLocal(cfg: GenConfig): Seq[Turn] =
+    (0L until cfg.numConvs.toLong).flatMap { c =>
+      (0 until numTurnsOf(cfg, c)).map(t => turnOf(cfg, c, t))
+    }
+
   /** Driver-local oracle for small fixtures. */
   def expectedTriplesLocal(cfg: GenConfig): Vector[ExpectedTriple] =
     (0L until cfg.numConvs.toLong).toVector.flatMap { convIdx =>

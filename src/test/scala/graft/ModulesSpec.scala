@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.EntityAggregates
+import graft.graph.Materialize
+import graft.multimodal.BinaryOps
+import graft.path.EntityPaths
+
+class ModulesSpec extends SparkSpec {
+
+  private def edgesFixture = {
+    import spark.implicits._
+    // entity graph: 1-2-3-4 chain + isolated 5-6, multiple convs
+    Seq(
+      (1L, "works_at", 2L, "c1", 0),
+      (2L, "uses", 3L, "c1", 1),
+      (3L, "uses", 4L, "c2", 0),
+      (1L, "works_at", 2L, "c2", 1),
+      (5L, "founded", 6L, "c3", 0)
+    ).toDF("subj", "pred", "obj", "conv_id", "turn_idx")
+  }
+
+  test("BFS shortest path: local and distributed agree") {
+    import spark.implicits._
+    val e = edgesFixture
+    assert(EntityPaths.shortestPathLocal(spark, e, 1L, 4L).contains(Seq(1L, 2L, 3L, 4L)))
+    assert(EntityPaths.shortestPathLocal(spark, e, 1L, 6L).isEmpty)
+    assert(EntityPaths.shortestPathLocal(spark, e, 5L, 5L).contains(Seq(5L)))
+    val dist = EntityPaths.bfsDistances(spark, e, 1L).as[(Long, Int)].collect().toMap
+    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("entity co-occurrence counts distinct conversations") {
+    import spark.implicits._
+    val co = EntityAggregates
+      .coOccurrence(edgesFixture, 2L)
+      .as[(Long, Long, Long, Long)]
+      .collect()
+    assert(co.toSeq == Seq((1L, 2L, 2L, 2L))) // pair (1,2) in c1+c2
+  }
+
+  test("entity profile: counts, roles, dominant predicate") {
+    import spark.implicits._
+    val p = EntityAggregates
+      .entityProfile(edgesFixture)
+      .where($"entity_id" === 2L)
+      .select($"n_assertions", $"n_as_subject", $"n_convs", $"top_pred")
+      .head()
+    // entity 2: obj in two works_at rows, subj in one uses row
+    assert(p.getLong(0) == 3 && p.getLong(1) == 1 && p.getLong(2) == 2)
+    assert(p.getString(3) == "works_at")
+  }
+
+  test("predicate transitions follow turn order within conv") {
+    import spark.implicits._
+    val tr = EntityAggregates
+      .predicateTransitions(edgesFixture)
+      .as[(String, String, Long)]
+      .collect()
+      .toSet
+    assert(tr == Set(("works_at", "uses", 1L), ("uses", "works_at", 1L), ("founded", "founded", 0L)).filter(_._3 > 0))
+  }
+
+  test("multimodal: batched feature extraction is deterministic with real plumbing") {
+    import spark.implicits._
+    val media = BinaryOps.syntheticMedia(spark, 40, 512)
+    val feats = BinaryOps.extractFeatures(spark, media)
+    assert(feats.count() == 40)
+    // determinism at different parallelism
+    val a = feats.collect().sortBy(_.media_id).map(f => (f.media_id, f.checksum, f.features.toSeq))
+    val b = BinaryOps
+      .extractFeatures(spark, media.repartition(7))
+      .collect()
+      .sortBy(_.media_id)
+      .map(f => (f.media_id, f.checksum, f.features.toSeq))
+    assert(a.sameElements(b))
+    assert(a.forall(_._3.length == BinaryOps.FeatureDim))
+    val stats = BinaryOps.featureStatsByType(media, feats)
+    assert(stats.count() == 3) // three media types
+    assert(stats.agg(sum($"n_media")).head().getLong(0) == 40)
+  }
+
+  test("materialize: lineage resume skips completed buckets, counts preserved") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_mat").toString
+    val edges = (0 until 1000)
+      .map(i => (i.toLong, "p", (i + 1).toLong, s"conv_${i % 50}", i))
+      .toDF("subj", "pred", "obj", "conv_id", "turn_idx")
+
+    val n1 = Materialize.writeEdges(spark, edges, out, numBuckets = 8)
+    assert(n1 == 8)
+    val total1 = spark.read.parquet(s"$out/edges").count()
+    assert(total1 == 1000)
+
+    // resume: nothing pending -> no buckets rewritten, data unchanged
+    val n2 = Materialize.writeEdges(spark, edges, out, numBuckets = 8)
+    assert(n2 == 0)
+    assert(spark.read.parquet(s"$out/edges").count() == 1000)
+
+    // lineage counters sum to the row count
+    val lineage = spark.read.parquet(s"$out/_lineage")
+    assert(lineage.agg(sum($"rows")).head().getLong(0) == 1000)
+  }
+}

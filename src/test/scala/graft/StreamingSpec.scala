@@ -1,0 +1,69 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.model.Turn
+import graft.streaming.StreamingKG
+
+class StreamingSpec extends SparkSpec {
+
+  private def turn(conv: String, idx: Int, text: String = "x"): Turn =
+    Turn(conv, idx, "user", text, None, new Timestamp(1704067200000L + idx * 1000L))
+
+  test("streaming consecutive edges: out-of-order turns across batches emit each edge once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val edges = StreamingKG.consecutiveEdges(spark, input.toDS())
+    val q = edges.writeStream
+      .format("memory")
+      .queryName("chain_edges")
+      .outputMode("append")
+      .start()
+
+    // batch 1: conv a turns 0,2 (2 buffered — 1 missing), conv b turn 0
+    input.addData(turn("a", 0), turn("a", 2), turn("b", 0))
+    q.processAllAvailable()
+    // batch 2: the missing a:1 arrives + b:1
+    input.addData(turn("a", 1), turn("b", 1))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT * FROM chain_edges").as[(String, Int, Int)].collect().toSet
+    assert(got == Set(("a", 0, 1), ("a", 1, 2), ("b", 0, 1)))
+  }
+
+  test("streaming triples match the batch extractor") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.synth.GenConfig(numConvs = 10, numEntities = 20)
+    val dict = graft.kg.Dictionary.build(cfg.seed, cfg.numEntities)
+    val bc = spark.sparkContext.broadcast(dict.toArray)
+    val turns = graft.synth.TranscriptGen.transcriptsLocal(cfg)
+
+    val input = MemoryStream[Turn]
+    val triples = StreamingKG.streamingTriples(spark, input.toDS(), bc)
+    val q = triples.writeStream
+      .format("memory")
+      .queryName("stream_triples")
+      .outputMode("append")
+      .start()
+    input.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .sql("SELECT subj, pred, obj, conv_id, turn_idx FROM stream_triples")
+      .as[(Long, String, Long, String, Int)]
+      .collect()
+      .toSet
+    val batch = graft.extract.Mentions
+      .extract(spark, spark.createDataset(turns), bc)
+      .flatMap(e => e.triples.map(t => (t.subj, t.pred, t.obj, e.conv_id, e.turn_idx)))
+      .collect()
+      .toSet
+    assert(got == batch && got.nonEmpty)
+  }
+}
