@@ -269,6 +269,78 @@ object SparkEntry {
         .annotate(read(s, dir, "documents"), "text")
         .select(col("doc_id"), col("token_count"), col("lang_guess"), col("quality"))),
 
+    // ---- F17: JSON property extraction (the reference's JSON
+    //      enrichment payloads, src/TCXParser.jl:175)
+    "q_json_props" -> ((s, dir) =>
+      read(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k_val")
+        )),
+
+    // ---- A4: run summary — first/last by order + means per session
+    "q_run_summary" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      read(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rn_desc", row_number().over(w.orderBy(col("ts").desc, col("event_id").desc)))
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("rn") === 1, col("value"))).as("first_value"),
+          max(when(col("rn_desc") === 1, col("value"))).as("last_value"),
+          round(avg(col("value")), 6).as("avg_value")
+        )
+    }),
+
+    // ---- O6: natural-numeric sort key extraction
+    "q_natural_sort" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          col("source"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("int").as("src_num")
+        )),
+
+    // ---- W6/O7: downsample every 5th event per session, cap 10
+    "q_downsample" -> ((s, dir) =>
+      Sequences
+        .downsample(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), 5, 10)
+        .select(col("user_id"), col("event_id"))),
+
+    // ---- J3: 1-row ref range join (bbox broad phase)
+    "q_range_ref_join" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val ref = ev.agg(
+        (round(avg(col("value")), 6) - 5.0).as("lo"),
+        (round(avg(col("value")), 6) + 5.0).as("hi")
+      )
+      ev.crossJoin(broadcast(ref))
+        .where(col("value") >= col("lo") && col("value") <= col("hi"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_in_range"))
+    }),
+
+    // ---- F6: Douglas-Peucker polyline simplification (viz-prep;
+    //      rows-only — spec-verified against hand oracle)
+    "q_dp_simplify" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+        .withColumn("x", col("value"))
+        .withColumn("y", pmod(col("value") * 37.0, lit(100.0)))
+      graft.ops.Polyline
+        .simplifySessions(s, ev, "user_id", "event_id", "x", "y", 1.0)
+        .select(col("session"), col("n_in"), col("n_out"))
+    }),
+
+    // ---- KG analytics (rows-only; spec-verified in ModulesSpec)
+    "kg_cooccurrence" -> ((s, dir) =>
+      graft.analytics.EntityAggregates.coOccurrence(kgResult(s, dir).edges.toDF(), 2L)),
+    "kg_entity_profile" -> ((s, dir) =>
+      graft.analytics.EntityAggregates.entityProfile(kgResult(s, dir).edges.toDF())),
+    "kg_pred_transitions" -> ((s, dir) =>
+      graft.analytics.EntityAggregates.predicateTransitions(kgResult(s, dir).edges.toDF())),
+
     // ---- KG pipeline outputs (non-SQL-expressible: LSH + CC inside;
     //      spec-verified against the generation oracle)
     "kg_edges" -> ((s, dir) => kgResult(s, dir).edges.toDF()),
@@ -459,6 +531,35 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cosine, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
           |  FROM scored) WHERE rank <= 5""".stripMargin,
+      "q_json_props" ->
+        """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_val FROM events""",
+      "q_run_summary" ->
+        """SELECT user_id,
+          |  max(CASE WHEN rn = 1 THEN value END) AS first_value,
+          |  max(CASE WHEN rn_desc = 1 THEN value END) AS last_value,
+          |  round(avg(value), 6) AS avg_value
+          |FROM (
+          |  SELECT user_id, value,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_desc
+          |  FROM events)
+          |GROUP BY user_id""".stripMargin,
+      "q_natural_sort" ->
+        """SELECT doc_id, source, CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS src_num
+          |FROM documents""".stripMargin,
+      "q_downsample" ->
+        """SELECT user_id, event_id FROM (
+          |  SELECT user_id, event_id, rn FROM (
+          |    SELECT user_id, event_id,
+          |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |    FROM events)
+          |  WHERE (rn - 1) % 5 = 0)
+          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn) <= 10""".stripMargin,
+      "q_range_ref_join" ->
+        """WITH ref AS (SELECT round(avg(value), 6) - 5.0 AS lo, round(avg(value), 6) + 5.0 AS hi FROM events)
+          |SELECT user_id, count(*) AS n_in_range
+          |FROM events, ref WHERE value >= lo AND value <= hi
+          |GROUP BY user_id""".stripMargin,
       "q_text_stats" -> {
         val (scores, best, whens) = langCase
         s"""SELECT doc_id,
