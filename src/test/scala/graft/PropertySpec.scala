@@ -1,0 +1,99 @@
+package graft
+
+import scala.util.Random
+
+import graft.link.Linker
+import graft.ops.Sequences
+import graft.synth.{GenConfig, TranscriptGen}
+
+/** Seeded randomized invariants (SURVEY §5.2). */
+class PropertySpec extends SparkSpec {
+
+  test("W1 invariant: edge count == sum over convs of (n_turns - 1)") {
+    import spark.implicits._
+    for (seed <- Seq(1L, 7L, 13L)) {
+      val cfg = GenConfig(seed = seed, numConvs = 30, numEntities = 20)
+      val turns = TranscriptGen.transcripts(spark, cfg).toDF()
+      val edges = Sequences.leadEdges(turns, "conv_id", Seq("turn_idx"), "turn_idx").count()
+      val expected = (0L until cfg.numConvs.toLong)
+        .map(c => TranscriptGen.numTurnsOf(cfg, c) - 1L)
+        .sum
+      assert(edges == expected, s"seed=$seed")
+    }
+  }
+
+  test("tokenSim: symmetric, bounded, reflexive") {
+    val rnd = new Random(42)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "the", "inc", "xylophone")
+    def randName() = (0 until 1 + rnd.nextInt(3)).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    for (_ <- 1 to 300) {
+      val (a, b) = (randName(), randName())
+      val ab = Linker.tokenSim(a, b)
+      val ba = Linker.tokenSim(b, a)
+      assert(math.abs(ab - ba) < 1e-12, s"symmetry: '$a' vs '$b'")
+      assert(ab >= 0.0 && ab <= 1.0)
+      assert(Linker.tokenSim(a, a) == 1.0)
+    }
+  }
+
+  test("minhash signature: jaccard estimator is unbiased-ish on random sets") {
+    val rnd = new Random(7)
+    val cfg = Linker.LshConfig(numBands = 32, rowsPerBand = 4) // 128 hashes
+    for (_ <- 1 to 20) {
+      val base = Array.fill(200)(rnd.nextLong())
+      val keep = rnd.nextDouble() * 0.8 + 0.1
+      val b = base.filter(_ => rnd.nextDouble() < keep) ++ Array.fill(30)(rnd.nextLong())
+      val trueJ = Linker.exactJaccard(base, b)
+      val sa = Linker.signature(base, cfg)
+      val sb = Linker.signature(b, cfg)
+      val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / sa.length
+      assert(math.abs(est - trueJ) < 0.2, f"est=$est%.2f true=$trueJ%.2f")
+    }
+  }
+
+  test("LSH blocking recall: link edges cover >= 95% of above-threshold pairs") {
+    import spark.implicits._
+    val dict = graft.kg.Dictionary.build(11L, 120)
+    val cfg = Linker.LshConfig()
+    // exact oracle: all pairs with tokenSim >= threshold
+    val want = (for {
+      a <- dict; b <- dict if a.surfaceId < b.surfaceId
+      if Linker.tokenSim(a.surface, b.surface) >= cfg.jaccardThreshold
+    } yield (a.surfaceId, b.surfaceId)).toSet
+    val dictDf = spark.createDataset(dict.map(s => (s.surfaceId, s.surface))).toDF("id", "surface")
+    val got = Linker
+      .linkEdges(spark, dictDf, cfg)
+      .map(e => (e.src, e.dst))
+      .collect()
+      .toSet
+    assert(want.nonEmpty)
+    assert(got.subsetOf(want), s"false positives: ${(got -- want).take(3)}")
+    val recall = (got & want).size.toDouble / want.size
+    info(f"blocking recall = $recall%.4f over ${want.size} true pairs")
+    assert(recall >= 0.95)
+  }
+
+  test("salting invariance: hotspot aggregation equals its salted two-phase form") {
+    import spark.implicits._
+    // the north_rule skew pattern: salted partial agg then merge must
+    // equal the direct aggregation
+    val rnd = new Random(3)
+    val rows = Seq.fill(5000)((rnd.nextInt(40).toLong, rnd.nextInt(25))).toDF("cell", "sess")
+    val direct = rows
+      .groupBy($"cell")
+      .agg(org.apache.spark.sql.functions.countDistinct($"sess").as("n"))
+      .as[(Long, Long)]
+      .collect()
+      .toMap
+    val salted = rows
+      .withColumn("salt", org.apache.spark.sql.functions.pmod(org.apache.spark.sql.functions.hash($"sess"), org.apache.spark.sql.functions.lit(8)))
+      .groupBy($"cell", $"salt")
+      .agg(org.apache.spark.sql.functions.collect_set($"sess").as("ss"))
+      .groupBy($"cell")
+      .agg(org.apache.spark.sql.functions.size(org.apache.spark.sql.functions.array_distinct(org.apache.spark.sql.functions.flatten(org.apache.spark.sql.functions.collect_list($"ss")))).as("n"))
+      .as[(Long, Int)]
+      .collect()
+      .toMap
+    assert(direct.forall { case (k, v) => salted(k).toLong == v })
+  }
+}
