@@ -269,6 +269,67 @@ object SparkEntry {
         .annotate(read(s, dir, "documents"), "text")
         .select(col("doc_id"), col("token_count"), col("lang_guess"), col("quality"))),
 
+    // ---- J1: nearest-neighbor enrichment join (broadcast dim, argmin)
+    "q_nn_enrich" -> ((s, dir) => {
+      // dim: per event_type avg value (5 rows); each supplier gets the
+      // type whose avg is nearest to its acctbal scaled into range
+      val dim = read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("type_avg"))
+      val facts = read(s, dir, "supplier")
+        .select(col("s_suppkey"), (abs(col("s_acctbal")) % 20.0).as("probe"))
+      Blocks
+        .nearestNeighborJoin(facts, dim, "s_suppkey", "probe", "event_type", "type_avg")
+        .select(col("s_suppkey"), col("event_type"), col("nn_dist"))
+    }),
+
+    // ---- SO1: union + distinct across sources
+    "q_union_keys" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .select(col("o_custkey").as("key"))
+        .union(read(s, dir, "customer").select(col("c_custkey").as("key")))
+        .distinct()),
+
+    // ---- SO2 + F18: interval overlap vs a reference window + date parts
+    "q_interval_overlap" -> ((s, dir) => {
+      val o = read(s, dir, "orders")
+        .withColumn("start_d", col("o_orderdate").cast("timestamp").cast("double"))
+        .withColumn("end_d", col("start_d") + 30.0 * 86400)
+      val ref = o.agg(
+        round(avg(col("start_d")), 0).as("ref_s"),
+        (round(avg(col("start_d")), 0) + 45.0 * 86400).as("ref_e")
+      )
+      o.crossJoin(broadcast(ref))
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          round(
+            Blocks.intervalOverlap(col("start_d"), col("end_d"), col("ref_s"), col("ref_e")) / 86400.0,
+            6
+          ).as("overlap_days")
+        )
+    }),
+
+    // ---- M1-M3: schema-cleaning decisions as data
+    "q_schema_decisions" -> ((s, dir) =>
+      Stats
+        .missingPct(eventsWithNulls(s, dir), Seq("value_n", "etype_n", "event_id"))
+        .withColumn(
+          "action",
+          when(col("missing_pct") >= 100.0, lit("drop_all_missing"))
+            .when(col("missing_pct") > 50.0, lit("drop_high_missing"))
+            .otherwise(lit("keep"))
+        )),
+
+    // ---- §2.11 UDAF: deterministic mode via typed Aggregator
+    "q_mode_agg" -> ((s, dir) => {
+      val detMode = udaf(graft.functions.DeterministicMode)
+      read(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(detMode(col("event_type")).as("mode_type"))
+    }),
+
     // ---- F17: JSON property extraction (the reference's JSON
     //      enrichment payloads, src/TCXParser.jl:175)
     "q_json_props" -> ((s, dir) =>
@@ -531,6 +592,51 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cosine, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
           |  FROM scored) WHERE rank <= 5""".stripMargin,
+      "q_nn_enrich" ->
+        """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY event_type),
+          |facts AS (SELECT s_suppkey, abs(s_acctbal) % 20.0 AS probe FROM supplier)
+          |SELECT s_suppkey, event_type, round(abs(probe - type_avg), 6) AS nn_dist FROM (
+          |  SELECT f.s_suppkey, d.event_type, f.probe, d.type_avg,
+          |    row_number() OVER (PARTITION BY f.s_suppkey
+          |      ORDER BY abs(f.probe - d.type_avg) ASC, d.event_type ASC) AS rn
+          |  FROM facts f CROSS JOIN dim d) WHERE rn = 1""".stripMargin,
+      "q_union_keys" ->
+        """SELECT DISTINCT key FROM (
+          |  SELECT o_custkey AS key FROM orders
+          |  UNION ALL SELECT c_custkey FROM customer)""".stripMargin,
+      "q_interval_overlap" ->
+        """WITH o AS (
+          |  SELECT o_orderkey, o_orderdate, epoch(o_orderdate) AS start_d,
+          |    epoch(o_orderdate) + 30.0 * 86400 AS end_d
+          |  FROM orders),
+          |ref AS (SELECT round(avg(start_d), 0) AS ref_s,
+          |               round(avg(start_d), 0) + 45.0 * 86400 AS ref_e FROM o)
+          |SELECT o_orderkey,
+          |  year(o_orderdate) AS order_year, month(o_orderdate) AS order_month,
+          |  round(greatest(0.0, least(end_d, ref_e) - greatest(start_d, ref_s)) / 86400.0, 6) AS overlap_days
+          |FROM o, ref""".stripMargin,
+      "q_schema_decisions" ->
+        """WITH src AS (
+          |  SELECT event_id,
+          |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n,
+          |    nullif(event_type, 'error') AS etype_n
+          |  FROM events),
+          |pct AS (
+          |  SELECT 'value_n' AS column_name, round(avg(CASE WHEN value_n IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) AS missing_pct FROM src
+          |  UNION ALL
+          |  SELECT 'etype_n', round(avg(CASE WHEN etype_n IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) FROM src
+          |  UNION ALL
+          |  SELECT 'event_id', round(avg(CASE WHEN event_id IS NULL THEN 1.0 ELSE 0.0 END) * 100, 6) FROM src)
+          |SELECT column_name, missing_pct,
+          |  CASE WHEN missing_pct >= 100.0 THEN 'drop_all_missing'
+          |       WHEN missing_pct > 50.0 THEN 'drop_high_missing'
+          |       ELSE 'keep' END AS action
+          |FROM pct""".stripMargin,
+      "q_mode_agg" ->
+        """SELECT user_id, event_type AS mode_type FROM (
+          |  SELECT user_id, event_type,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) AS rn
+          |  FROM events GROUP BY user_id, event_type) WHERE rn = 1""".stripMargin,
       "q_json_props" ->
         """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_val FROM events""",
       "q_run_summary" ->

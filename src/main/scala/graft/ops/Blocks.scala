@@ -77,4 +77,39 @@ object Blocks {
     */
   def resumePending(facts: DataFrame, ledger: DataFrame, keyCols: Seq[String]): DataFrame =
     facts.join(ledger, keyCols, "left_anti")
+
+  /** J1: nearest-neighbor enrichment join — for every fact row, the
+    * dim row minimizing |factVal - dimVal|, copying the dim's payload
+    * (the reference's closest-road-feature assignment,
+    * /root/reference/src/TCXParser.jl:188-265). Dim is broadcast (it's
+    * the small side by construction); argmin via ranked window with a
+    * deterministic (distance, dim key) tie-break. At larger dim
+    * cardinality the broad phase becomes a banded equi-join like
+    * proximitySelfJoin.
+    */
+  def nearestNeighborJoin(
+      facts: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      factVal: String,
+      dimKey: String,
+      dimVal: String
+  ): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(factKey))
+      .orderBy(abs(col(factVal) - col(dimVal)).asc, col(dimKey).asc)
+    facts
+      .join(broadcast(dim))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+      .withColumn("nn_dist", round(abs(col(factVal) - col(dimVal)), 6))
+  }
+
+  /** SO2: interval intersection length as a column expression —
+    * greatest(0, min(ends) - max(starts))
+    * (/root/reference/src/OverlappingSegmentsUtils.jl:232).
+    */
+  def intervalOverlap(s1: Column, e1: Column, s2: Column, e2: Column): Column =
+    greatest(lit(0.0), least(e1, e2) - greatest(s1, s2))
 }
