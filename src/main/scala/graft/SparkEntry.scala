@@ -58,7 +58,11 @@ object SparkEntry {
     kgCache.getOrElseUpdate(dir, {
       val cfg = genConfigFor(dir)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
-      KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
+      val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
+      // several kg_* queries consume the materialized graph — cache the
+      // (small, canonical) output tables, not the turn-stream
+      // intermediates; mirrors reading back the written tables
+      KGPipeline.Result(r.vertices.cache(), r.edges.cache(), r.mapping)
     })
 
   /** events with engineered nulls (the driver tables are null-free;

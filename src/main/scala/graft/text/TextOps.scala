@@ -125,13 +125,28 @@ object TextOps {
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
   /** Add (token_count, lang, quality, fingerprint) columns in one
-    * narrow pass, splitting the text exactly once.
+    * narrow pass: the text is split once and each per-language hit
+    * count is materialized as ONE intermediate column. Without this,
+    * each hit count appears twice per language (inside `greatest` and
+    * inside its `when` branch) and the generated code grows
+    * quadratically — measured seconds of janino time for a 5-language
+    * case on a tiny table.
     */
-  def annotate(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("_toks", split(lower(col(textCol)), "\\s+"))
+  def annotate(df: DataFrame, textCol: String): DataFrame = {
+    val hitCols = LangMarkers.map { case (lang, _) => s"_h_$lang" }
+    val withHits = LangMarkers.zip(hitCols).foldLeft(
+      df.withColumn("_toks", split(lower(col(textCol)), "\\s+"))
+    ) { case (acc, ((_, markers), c)) => acc.withColumn(c, markerHitsTok(col("_toks"), markers)) }
+    val best = hitCols.map(col).reduce((a, b) => greatest(a, b))
+    val pick = LangMarkers.zip(hitCols).foldRight(lit("unknown")) { case (((lang, _), c), acc) =>
+      when(col(c) === col("_best") && col(c) > 0, lit(lang)).otherwise(acc)
+    }
+    withHits
+      .withColumn("_best", best)
       .withColumn("token_count", tokenCount(col(textCol)))
-      .withColumn("lang_guess", langIdTok(col("_toks")))
+      .withColumn("lang_guess", pick)
       .withColumn("quality", qualityScoreTok(col(textCol), col("_toks"), col("token_count")))
       .withColumn("fingerprint", fingerprintCol(col(textCol)))
-      .drop("_toks")
+      .drop("_toks" :: "_best" :: hitCols.toList: _*)
+  }
 }
