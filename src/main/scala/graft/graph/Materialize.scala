@@ -85,6 +85,50 @@ object Materialize {
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vertices")
 
+  /** S10: CSV sink for case-study outputs
+    * (/root/reference/examples/main.jl:188-189) — debug/interchange
+    * only; Parquet is the real format.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  /** Iceberg-style snapshot manifest (the sandbox has no Iceberg
+    * runtime jar — SURVEY §7.0 — so the layout carries its own
+    * manifest): data files + row counters per table, one JSON per
+    * snapshot. Readers can diff manifests for incremental consumption.
+    */
+  def writeManifest(spark: SparkSession, outDir: String): String = {
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(sub: String): Seq[(String, Long)] = {
+      val p = new org.apache.hadoop.fs.Path(s"$outDir/$sub")
+      if (!fs.exists(p)) Seq.empty
+      else {
+        val it = fs.listFiles(p, true)
+        val b = Seq.newBuilder[(String, Long)]
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.endsWith(".parquet"))
+            b += ((f.getPath.toString, f.getLen))
+        }
+        b.result()
+      }
+    }
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val (v, e) = stats(spark, outDir)
+    val snapshotId = System.currentTimeMillis()
+    val json =
+      s"""{"snapshot_id":$snapshotId,"vertices_rows":$v,"edges_rows":$e,""" +
+        s""""files":[${(files("vertices") ++ files("edges"))
+          .map { case (p, len) => s"""{"path":${q(p)},"bytes":$len}""" }
+          .mkString(",")}]}"""
+    val out = new org.apache.hadoop.fs.Path(s"$outDir/_manifest/snapshot-$snapshotId.json")
+    val os = fs.create(out, true)
+    os.write(json.getBytes("UTF-8"))
+    os.close()
+    out.toString
+  }
+
   /** Graph counter metrics (reference: nv/ne at
     * /root/reference/examples/saveToNeo4j.jl:52).
     */
