@@ -100,6 +100,27 @@ class KGPipelineSpec extends SparkSpec {
     assert(eIds.subsetOf(vIds))
   }
 
+  test("end-to-end P/R holds at medium scale (500 entities, mega-convs)") {
+    import spark.implicits._
+    val mid = GenConfig(seed = 17L, numConvs = 200, numEntities = 500)
+    val midDict = Dictionary.build(mid.seed, mid.numEntities)
+    val got = KGPipeline
+      .run(spark, TranscriptGen.transcripts(spark, mid), midDict)
+      .edges
+      .map(e => (e.subj, e.pred, e.obj, e.conv_id, e.turn_idx))
+      .collect()
+      .toSet
+    val want = TranscriptGen
+      .expectedTriplesLocal(mid)
+      .map(e => (e.subj, e.pred, e.obj, e.conv_id, e.turn_idx))
+      .toSet
+    val tp = (got & want).size.toDouble
+    val p = if (got.isEmpty) 0.0 else tp / got.size
+    val r = tp / want.size
+    info(f"medium-scale: got=${got.size} want=${want.size} P=$p%.4f R=$r%.4f")
+    assert(p >= 0.95 && r >= 0.95)
+  }
+
   test("pipeline result is identical at different parallelism") {
     import spark.implicits._
     val small = cfg.copy(numConvs = 25)

@@ -5,7 +5,9 @@ import graft.link.Linker
 
 class LinkerDebugSpec extends SparkSpec {
   test("tokenSim separates same-entity from cross-entity pairs with margin") {
-    val dict = Dictionary.build(42L, 200)
+    // 500 entities spans most of the name grid — the breadth the sf0.1
+    // bench dictionary actually uses
+    val dict = Dictionary.build(42L, 500)
     var maxCross = 0.0
     var maxCrossPair = ""
     var minWithin = 1.0

@@ -73,6 +73,23 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("weightedJaccard with uniform weights equals plain jaccard") {
+    val rnd = new Random(5)
+    for (_ <- 1 to 50) {
+      val a = Array.fill(30)(rnd.nextLong() % 40)
+      val b = Array.fill(30)(rnd.nextLong() % 40)
+      val j = Linker.exactJaccard(a, b)
+      val wj = Linker.weightedJaccard(a, b, _ => 1.0)
+      assert(math.abs(j - wj) < 1e-12)
+    }
+    // idf downweights common shingles: sharing only the common shingle
+    // scores lower than sharing only the rare one
+    val w: Long => Double = x => if (x == 1L) 0.1 else 5.0
+    val common = Linker.weightedJaccard(Array(1L, 2L), Array(1L, 3L), w)
+    val rare = Linker.weightedJaccard(Array(1L, 2L), Array(2L, 3L), w)
+    assert(rare > common)
+  }
+
   test("salting invariance: hotspot aggregation equals its salted two-phase form") {
     import spark.implicits._
     // the north_rule skew pattern: salted partial agg then merge must
