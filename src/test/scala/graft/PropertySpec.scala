@@ -76,8 +76,9 @@ class PropertySpec extends SparkSpec {
   test("weightedJaccard with uniform weights equals plain jaccard") {
     val rnd = new Random(5)
     for (_ <- 1 to 50) {
-      val a = Array.fill(30)(rnd.nextLong() % 40)
-      val b = Array.fill(30)(rnd.nextLong() % 40)
+      // shingle arrays are distinct by construction (shingles() dedups)
+      val a = Array.fill(30)(rnd.nextLong() % 40).distinct
+      val b = Array.fill(30)(rnd.nextLong() % 40).distinct
       val j = Linker.exactJaccard(a, b)
       val wj = Linker.weightedJaccard(a, b, _ => 1.0)
       assert(math.abs(j - wj) < 1e-12)
