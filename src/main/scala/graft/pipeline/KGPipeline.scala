@@ -65,7 +65,10 @@ object KGPipeline {
     import spark.implicits._
 
     val bc = spark.sparkContext.broadcast(dict.toArray)
-    val extraction0 = Mentions.extract(spark, turns, bc)
+    // P1: drop records with null payload, the reference's null-position
+    // filter (/root/reference/src/TCXParser.jl:58)
+    val validTurns = turns.filter((t: Turn) => t.text != null)
+    val extraction0 = Mentions.extract(spark, validTurns, bc)
     // Both output tables consume the extraction (edges need triples,
     // vertices need the observed-mention vocabulary). Default is to
     // RECOMPUTE it per consumer: the extraction is a cheap narrow map
