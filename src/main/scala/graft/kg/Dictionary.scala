@@ -111,8 +111,13 @@ object Dictionary {
     // can only be the abbreviation (a sentence-final "Alder Dynamics."
     // tokenizes differently), but clipping a short word would reproduce
     // the full name + period — use a prefix variant instead then.
+    // Numeric suffix tokens (names beyond the word-pair grid) must be
+    // carried into the abbreviation: otherwise "Alder Systems" and
+    // "Alder Systems 2" share the surface "Alder Syste." and the
+    // dictionary itself would merge two distinct entities.
+    val sfxTail = if (parts.length > 2) " " + parts.drop(2).mkString(" ") else ""
     val abbrev =
-      if (parts(1).length >= 7) parts(0) + " " + parts(1).take(5) + "."
+      if (parts(1).length >= 7) parts(0) + " " + parts(1).take(5) + "." + sfxTail
       else "The " + name
     val variants = Vector(
       name, // canonical
@@ -131,6 +136,14 @@ object Dictionary {
     * becomes a table and the trie is built per partition from a
     * broadcast join slice — the API below stays the same.
     */
-  def build(seed: Long, numEntities: Int): Vector[SurfaceForm] =
-    (0 until numEntities).flatMap(e => surfacesOf(seed, e)).toVector
+  def build(seed: Long, numEntities: Int): Vector[SurfaceForm] = {
+    val dict = (0 until numEntities).flatMap(e => surfacesOf(seed, e)).toVector
+    // a duplicated surface string across entities makes the fixture
+    // contradict its own ground truth — fail fast instead
+    val dup = dict.groupBy(_.surface).collectFirst {
+      case (s, vs) if vs.map(_.canonicalId).distinct.size > 1 => s
+    }
+    require(dup.isEmpty, s"dictionary surface collision across entities: '${dup.get}'")
+    dict
+  }
 }

@@ -28,10 +28,15 @@ object Linker {
   final case class LshConfig(
       shingleK: Int = 3,
       // banding recall at the decision boundary: P(collide | s) =
-      // 1-(1-s^r)^b = 0.98 at s=0.47 with b=16, r=2 — blocking misses
-      // stay well inside the P/R >= 0.95 slack
-      numBands: Int = 16,
-      rowsPerBand: Int = 2,
+      // 1-(1-s^r)^b = 0.98 at charJ s=0.53 (the weakest true pair:
+      // abbreviation vs canonical) with b=24, r=3. r=3 matters beyond
+      // recall: with r=2 the band slices of short names are dominated
+      // by the corpus' most common word's shingles, producing giant
+      // identical-slice buckets that the hot-bucket cap then drops —
+      // observed as blocking misses at 2000+ entities. Requiring a
+      // third agreeing min-hash shrinks those buckets exponentially.
+      numBands: Int = 24,
+      rowsPerBand: Int = 3,
       // tokenSim: same-entity variants score >= 0.9 (equality /
       // prefix-abbreviation per token); distinct entities <= ~0.3
       // (an unmatched informative token caps the min) — 0.6 sits in
@@ -227,7 +232,7 @@ object Linker {
       .toDF("id", "toks", "sig")
 
     // one row per band: (band, bandHash, id, toks)
-    val banded = withSig
+    val minhashBanded = withSig
       .select(
         $"id",
         $"toks",
@@ -239,6 +244,27 @@ object Linker {
         ).as("bk")
       )
       .select($"id", $"toks", $"bk.band", $"bk.bh")
+
+    // multi-pass blocking (standard entity-resolution practice): a
+    // second, deterministic channel keyed on (first informative token,
+    // 2-char prefix of the second). Abbreviation variants clip the
+    // second token, which thins their shingle overlap right at the LSH
+    // recall edge — this channel catches every prefix-compatible pair
+    // with probability 1, while its buckets stay word-family-sized
+    // (the hot-bucket cap below still guards degenerate keys).
+    val prefixKeyed = withSig
+      .select(
+        $"id",
+        $"toks",
+        lit(-1).as("band"),
+        hash(
+          element_at($"toks", 1),
+          substring(coalesce(element_at($"toks", 2), lit("")), 1, 2)
+        ).as("bh")
+      )
+      .where(size($"toks") >= 1)
+
+    val banded = minhashBanded.union(prefixKeyed)
 
     // drop hot buckets before the self-join (see maxBucketSize doc)
     val keepBuckets = banded
