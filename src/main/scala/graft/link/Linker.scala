@@ -35,7 +35,10 @@ object Linker {
       // identical-slice buckets that the hot-bucket cap then drops —
       // observed as blocking misses at 2000+ entities. Requiring a
       // third agreeing min-hash shrinks those buckets exponentially.
-      numBands: Int = 24,
+      // with the deterministic prefix channel carrying the structured
+      // variants, the MinHash channel only needs to catch residual
+      // fuzzy pairs — 16x3 is the cost/recall sweet spot
+      numBands: Int = 16,
       rowsPerBand: Int = 3,
       // tokenSim: same-entity variants score >= 0.9 (equality /
       // prefix-abbreviation per token); distinct entities <= ~0.3
