@@ -60,6 +60,12 @@ class EndToEndSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/vertices_csv").count() == v)
   }
 
+  test("driver contract: entry() smoke returns rows; queries/oracle keys align") {
+    assert(SparkEntry.entry(spark).count() > 0)
+    // every oracle key must have a query
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
   test("geojson viz-prep renders ordered linestrings per session") {
     import spark.implicits._
     val rows = Seq(
