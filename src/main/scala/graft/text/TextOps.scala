@@ -103,6 +103,56 @@ object TextOps {
     */
   def fingerprintCol(text: Column): Column = xxhash64(normalized(text))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken:
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003): rolling polynomial hash over character k-grams of
+    * the normalized text, then the minimum hash of every w-window is
+    * selected (rightmost-min tie-break). Guarantees: any shared
+    * substring of length >= w + k - 1 yields at least one shared
+    * fingerprint — the standard near-copy detector for code/text
+    * corpora. Returns distinct selected hashes.
+    */
+  def winnowingFingerprints(text: String, k: Int = 5, w: Int = 4): Array[Long] = {
+    val n = normalizedString(text)
+    if (n.length < k) return if (n.isEmpty) Array.empty else Array(Hashing.hashString(n))
+    // rolling polynomial hash over k-grams: h_i = sum c_j * B^(k-1-j)
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val m = n.length - k + 1
+    val hs = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + n.charAt(i); i += 1 }
+    hs(0) = Hashing.mix64(h)
+    var raw = h
+    i = 1
+    while (i < m) {
+      raw = (raw - n.charAt(i - 1) * pow) * B + n.charAt(i + k - 1)
+      hs(i) = Hashing.mix64(raw)
+      i += 1
+    }
+    if (m <= w) return Array(hs.min)
+    val out = scala.collection.mutable.LongMap.empty[Unit]
+    i = 0
+    while (i + w <= m) {
+      var mn = hs(i)
+      var mi = i
+      var j = i + 1
+      while (j < i + w) {
+        if (hs(j) <= mn) { mn = hs(j); mi = j } // rightmost min
+        j += 1
+      }
+      out.update(hs(mi), ())
+      i += 1
+    }
+    out.keys.toArray
+  }
+
+  private def normalizedString(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", "").replaceAll("\\s+", " ").trim
+
   /** SimHash-64 over word features: per-bit majority vote of feature
     * hashes (Charikar 2002). Near-duplicates differ in few bits.
     */
