@@ -267,6 +267,14 @@ object SparkEntry {
       Ann.lshTopK(s, queries, emb, "vec_id", "embedding", 5)
     }),
 
+    // ---- ANN: IVF (inverted-file) variant (rows-only; spec-verified)
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = read(s, dir, "embeddings")
+      val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(20)
+        .select(col("vec_id"), col("embedding"))
+      Ann.ivfTopK(s, queries, emb, "vec_id", "embedding", 5)
+    }),
+
     // ---- text analysis: token count, language ID, quality score
     "q_text_stats" -> ((s, dir) =>
       TextOps

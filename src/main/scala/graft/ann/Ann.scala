@@ -116,4 +116,82 @@ object Ann {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  @inline private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** IVF (inverted-file) ANN top-k: a coarse quantizer of `numLists`
+    * centroids partitions the corpus into cells; queries probe their
+    * `nProbe` nearest cells; exact cosine inside the probed cells.
+    * Centroids are picked deterministically from the corpus (hash-
+    * evenly spaced sample — k-means would sharpen cells but the
+    * assignment/probe machinery is identical), broadcast to both
+    * sides; the join is an equi-join on the cell id. The standard
+    * FAISS-style scale path when the corpus outgrows brute force.
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numLists: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val corp = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    // deterministic coarse quantizer: one centroid per hash-bucket of
+    // the id space (min id per bucket -> stable under any partitioning)
+    val centroids = corp
+      .map { case (id, v) => (Hashing.toRange(Hashing.mix64(id), numLists), id, v) }
+      .toDF("cell", "id", "v")
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("cell")).orderBy(col("id").asc))
+      )
+      .where(col("rn") === 1)
+      .select(col("cell"), col("v"))
+      .as[(Int, Array[Float])]
+      .collect()
+      .sortBy(_._1)
+    val bcCent = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(v: Array[Float], n: Int): Array[Int] =
+      bcCent.value
+        .map { case (cell, cv) => (cell, cosineArr(v, cv)) }
+        .sortBy { case (cell, s) => (-s, cell) }
+        .take(n)
+        .map(_._1)
+
+    val assigned = corp
+      .map { case (id, v) => (id, v, nearestCells(v, 1).head) }
+      .toDF("neighbor_id", "c_vec", "cell")
+
+    val probes = queries
+      .select(col(idCol).cast("long"), col(vecCol))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, v) => nearestCells(v, nProbe).map(c => (id, v, c)) }
+      .toDF("query_id", "q_vec", "cell")
+
+    import graft.functions.VectorExpressions._
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
+    probes
+      .join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("q_vec"), col("c_vec")), 6))
+      // a (query, neighbor) pair can meet in several probed buckets
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("cosine")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
 }

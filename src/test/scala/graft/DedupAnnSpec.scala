@@ -88,6 +88,34 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.6) // multi-probe SRP at 8 planes; knob documented in Ann
   }
 
+  test("ann ivf top-k achieves recall >= 0.5 vs brute force") {
+    import spark.implicits._
+    val emb = spark.read.parquet(embs)
+    val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(10)
+      .select(col("vec_id"), col("embedding"))
+    val exact = Ann
+      .bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val approx = Ann
+      .ivfTopK(spark, queries, emb, "vec_id", "embedding", 5, numLists = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)]
+      .collect()
+      .toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(f"ann ivf recall=$recall%.3f")
+    // random-sample centroids on near-uniform vectors: probing half the
+    // lists bounds expected recall near nProbe/numLists + top-k skew
+    assert(recall >= 0.5)
+    // determinism
+    val again = Ann.ivfTopK(spark, queries, emb, "vec_id", "embedding", 5, numLists = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == approx)
+  }
+
   test("exact + normalized dedup survivors are originals and idempotent") {
     import spark.implicits._
     val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
