@@ -250,11 +250,14 @@ object Linker {
 
     // multi-pass blocking (standard entity-resolution practice): a
     // second, deterministic channel keyed on (first informative token,
-    // 2-char prefix of the second). Abbreviation variants clip the
-    // second token, which thins their shingle overlap right at the LSH
-    // recall edge — this channel catches every prefix-compatible pair
-    // with probability 1, while its buckets stay word-family-sized
-    // (the hot-bucket cap below still guards degenerate keys).
+    // 2-char prefix of the second, trailing numeric token if any).
+    // Abbreviation variants clip the second token, which thins their
+    // shingle overlap right at the LSH recall edge — this channel
+    // catches every prefix-compatible pair with probability 1. The
+    // numeric-suffix component keeps name families ("X Systems 2..22")
+    // from pooling into one bucket that the hot-bucket cap would drop;
+    // same-entity variants always agree on it.
+    val lastTok = element_at($"toks", -1)
     val prefixKeyed = withSig
       .select(
         $"id",
@@ -262,7 +265,8 @@ object Linker {
         lit(-1).as("band"),
         hash(
           element_at($"toks", 1),
-          substring(coalesce(element_at($"toks", 2), lit("")), 1, 2)
+          substring(coalesce(element_at($"toks", 2), lit("")), 1, 2),
+          when(lastTok.rlike("^[0-9]+$"), lastTok).otherwise(lit(""))
         ).as("bh")
       )
       .where(size($"toks") >= 1)
