@@ -158,6 +158,16 @@ object SparkEntry {
     "q_hotspot_cells" -> ((s, dir) =>
       Blocks.hotspotCells(read(s, dir, "events"), "user_id", "value", 5.0, 20L)),
 
+    // ---- A8 at 10^12 scale: approx_count_distinct variant (documented
+    //      epsilon ~2.3% default rsd; rows-only — approx results have no
+    //      exact oracle by construction)
+    "q_hotspot_approx" -> ((s, dir) =>
+      read(s, dir, "events")
+        .select(col("user_id"), Blocks.gridCell(col("value"), 5.0).as("cell"))
+        .groupBy(col("cell"))
+        .agg(approx_count_distinct(col("user_id")).as("n_sessions_approx"))
+        .where(col("n_sessions_approx") >= 20)),
+
     // ---- A9: hottest session (semi-join + argmax, deterministic ties)
     "q_hottest_session" -> ((s, dir) =>
       Blocks.hottestSession(read(s, dir, "events"), "user_id", "value", 5.0, 20L)),

@@ -54,6 +54,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(empty == 0)
   }
 
+  test("CC is idempotent: running on its own star output is a fixpoint") {
+    import spark.implicits._
+    val rnd = new Random(9)
+    val edges = Seq.fill(120)((rnd.nextInt(70).toLong, rnd.nextInt(70).toLong)).filter(e => e._1 != e._2)
+    val df = spark.createDataset(edges).toDF("src", "dst")
+    val m1 = ConnectedComponents.run(spark, df).as[(Long, Long)].collect().toMap
+    val starEdges = spark.createDataset(m1.toSeq.filter(kv => kv._1 != kv._2)).toDF("src", "dst")
+    val m2 = ConnectedComponents.run(spark, starEdges, driverLocalThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(m1 == m2)
+  }
+
   test("distributed CC is invariant to input partitioning") {
     import spark.implicits._
     val rnd = new Random(7)
