@@ -201,6 +201,16 @@ object SparkEntry {
     "q_proximity_pairs" -> ((s, dir) =>
       Blocks.proximitySelfJoin(read(s, dir, "supplier"), "s_suppkey", "s_acctbal", 50.0)),
 
+    // ---- J4 stage-1 flavor: existence semi-join (orders WITH lineitem)
+    "q_semi_join" -> ((s, dir) =>
+      read(s, dir, "orders")
+        .select(col("o_orderkey"))
+        .join(
+          read(s, dir, "lineitem").select(col("l_orderkey").as("o_orderkey")),
+          Seq("o_orderkey"),
+          "left_semi"
+        )),
+
     // ---- SO4: anti-join resume (orders with no lineitem)
     "q_anti_resume" -> ((s, dir) =>
       Blocks.resumePending(
@@ -563,6 +573,9 @@ object SparkEntry {
           |  round(abs(a.s_acctbal - b.s_acctbal), 6) AS dist
           |FROM supplier a JOIN supplier b
           |  ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) <= 50.0""".stripMargin,
+      "q_semi_join" ->
+        """SELECT o_orderkey FROM orders
+          |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
       "q_anti_resume" ->
         """SELECT o_orderkey FROM orders
           |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
