@@ -53,9 +53,13 @@ object SparkEntry {
     * user materializes vertices+edges in one job; the memo mirrors
     * that instead of rebuilding the pipeline per output table).
     */
-  private val kgCache = scala.collection.concurrent.TrieMap.empty[String, KGPipeline.Result]
+  // keyed by (applicationId, dir): cached DataFrames are bound to the
+  // SparkContext that created them — a dir-only key breaks (or silently
+  // misbehaves) when a later SparkSession in the same JVM asks for the
+  // same dir. A new context gets a fresh pipeline run.
+  private val kgCache = scala.collection.concurrent.TrieMap.empty[(String, String), KGPipeline.Result]
   private def kgResult(s: SparkSession, dir: String): KGPipeline.Result =
-    kgCache.getOrElseUpdate(dir, {
+    kgCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
       val cfg = genConfigFor(dir)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
       val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
@@ -64,6 +68,16 @@ object SparkEntry {
       // intermediates; mirrors reading back the written tables
       KGPipeline.Result(r.vertices.cache(), r.edges.cache(), r.mapping)
     })
+
+  /** Materialize the sf-dir KG pipeline (the shared input of the kg_*
+    * queries) and return (vertices, edges) counts. Bench calls this
+    * BEFORE the per-query loop so the pipeline build is timed as its
+    * own entry instead of billed to whichever kg_* query runs first.
+    */
+  def prepareKg(s: SparkSession, dir: String): (Long, Long) = {
+    val r = kgResult(s, dir)
+    (r.vertices.count(), r.edges.count())
+  }
 
   /** events with engineered nulls (the driver tables are null-free;
     * the imputation/missing-stats operators need some).

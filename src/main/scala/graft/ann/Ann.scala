@@ -149,15 +149,20 @@ object Ann {
     import spark.implicits._
     val corp = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
     // deterministic coarse quantizer: one centroid per hash-bucket of
-    // the id space (min id per bucket -> stable under any partitioning)
+    // the id space (min id per bucket -> stable under any partitioning).
+    // Plan shape: min-per-cell over NARROW (cell, id) rows — map-side
+    // partial agg, numLists-row shuffle — then a broadcast semi-fetch of
+    // the numLists winning vectors. The previous row_number() window
+    // dragged every (id, vec) row through an exchange before any real
+    // work (11.7 s of the sf0.1 bench).
+    val repIds = corp
+      .map { case (id, _) => (Hashing.toRange(Hashing.mix64(id), numLists), id) }
+      .toDF("cell", "id")
+      .groupBy(col("cell"))
+      .agg(min(col("id")).as("id"))
     val centroids = corp
-      .map { case (id, v) => (Hashing.toRange(Hashing.mix64(id), numLists), id, v) }
-      .toDF("cell", "id", "v")
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("cell")).orderBy(col("id").asc))
-      )
-      .where(col("rn") === 1)
+      .toDF("id", "v")
+      .join(broadcast(repIds), Seq("id"))
       .select(col("cell"), col("v"))
       .as[(Int, Array[Float])]
       .collect()

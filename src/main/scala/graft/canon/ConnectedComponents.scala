@@ -142,8 +142,12 @@ object ConnectedComponents {
     }
 
     // At fixpoint every edge is (member -> root). Roots map to themselves.
+    // Returned UNPERSISTED: `cur` is an eager localCheckpoint, so each
+    // action re-runs only the final union+distinct; callers that consume
+    // the mapping repeatedly own (and can release) their own persist —
+    // a persist here leaked executor storage across repeated CC runs.
     val members = cur.select($"u".as("id"), $"v".as("component"))
     val roots = cur.select($"v".as("id"), $"v".as("component")).distinct()
-    members.union(roots).distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    members.union(roots).distinct()
   }
 }

@@ -86,21 +86,31 @@ object Mentions {
     Extraction(t.conv_id, t.turn_idx, mentions.toSeq, triples)
   }
 
-  // One trie per (JVM, broadcast): the built trie is immutable, so all
-  // tasks of an executor share it. Rebuilding per task/partition is
+  // One trie per (JVM, broadcast VALUE): the built trie is immutable, so
+  // all tasks of an executor share it. Rebuilding per task/partition is
   // allocation-heavy enough (1 node-map per trie node) to invert
   // scaling at high core counts — 32 concurrent builds contend on the
   // allocator while 8 sail through.
+  //
+  // Keyed by the identity of the broadcast's VALUE array, not bc.id:
+  // broadcast ids restart at 0 per SparkContext, so an id-keyed cache
+  // silently serves the previous context's dictionary. The value array
+  // is identity-stable per executor (block-manager cached) and weakly
+  // held, so evicted broadcasts free their tries.
   private val trieCache =
-    scala.collection.concurrent.TrieMap.empty[Long, AhoCorasick]
+    new java.util.WeakHashMap[Array[SurfaceForm], AhoCorasick]
 
-  private def trieFor(bc: Broadcast[Array[SurfaceForm]]): AhoCorasick =
-    trieCache.get(bc.id).getOrElse(synchronized {
-      trieCache.getOrElseUpdate(
-        bc.id,
-        AhoCorasick.build(bc.value.map(s => (s.surface, s.surfaceId)))
-      )
-    })
+  private def trieFor(bc: Broadcast[Array[SurfaceForm]]): AhoCorasick = {
+    val surfaces = bc.value
+    trieCache.synchronized {
+      var t = trieCache.get(surfaces)
+      if (t == null) {
+        t = AhoCorasick.build(surfaces.map(s => (s.surface, s.surfaceId)))
+        trieCache.put(surfaces, t)
+      }
+      t
+    }
+  }
 
   /** One-pass extraction over the corpus. `bcSurfaces` is the broadcast
     * dictionary (alias -> surface id).

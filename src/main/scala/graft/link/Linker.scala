@@ -257,15 +257,19 @@ object Linker {
     // numeric-suffix component keeps name families ("X Systems 2..22")
     // from pooling into one bucket that the hot-bucket cap would drop;
     // same-entity variants always agree on it.
-    val lastTok = element_at($"toks", -1)
+    // try_element_at: Spark 4 ANSI mode makes plain element_at THROW on
+    // out-of-range indexes, so a single-token surface ("Google") must
+    // not index slot 2 directly — it gets a degenerate-but-valid key
+    // (second component folds to "").
+    val lastTok = try_element_at($"toks", lit(-1))
     val prefixKeyed = withSig
       .select(
         $"id",
         $"toks",
         lit(-1).as("band"),
         hash(
-          element_at($"toks", 1),
-          substring(coalesce(element_at($"toks", 2), lit("")), 1, 2),
+          try_element_at($"toks", lit(1)),
+          substring(coalesce(try_element_at($"toks", lit(2)), lit("")), 1, 2),
           when(lastTok.rlike("^[0-9]+$"), lastTok).otherwise(lit(""))
         ).as("bh")
       )

@@ -67,14 +67,23 @@ object Stats {
 
   /** A6: per-group median imputation with global-median fallback
     * (/root/reference/src/DataPreprocessing.jl:101-135).
+    *
+    * Plan shape: the global median is a regular aggregate broadcast back
+    * onto every row — NOT a `Window.partitionBy(lit(1))`, which funnels
+    * the whole table through one task (single-partition bottleneck /
+    * OOM at scale). Group medians come from a groupBy (map-side partial
+    * agg + one shuffle on the group key) joined back null-safely, so a
+    * NULL group keeps its own median exactly like the window did.
     */
   def imputeGroupMedian(df: DataFrame, groupCol: String, valueCol: String, as: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol))
-    val wg = Window.partitionBy(lit(1))
-    df.withColumn("_grp_med", expr(s"percentile($valueCol, 0.5)").over(w))
-      .withColumn("_glob_med", expr(s"percentile($valueCol, 0.5)").over(wg))
+    val grp = df
+      .groupBy(col(groupCol).as("_gkey"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_grp_med"))
+    val glob = df.agg(expr(s"percentile($valueCol, 0.5)").as("_glob_med"))
+    df.join(grp, col(groupCol) <=> col("_gkey"), "left")
+      .crossJoin(broadcast(glob))
       .withColumn(as, round(coalesce(col(valueCol), col("_grp_med"), col("_glob_med")), 6))
-      .drop("_grp_med", "_glob_med")
+      .drop("_gkey", "_grp_med", "_glob_med")
   }
 
   /** M1/M2: drop columns whose missing percentage exceeds `threshold`

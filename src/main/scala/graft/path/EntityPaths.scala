@@ -21,8 +21,8 @@ object EntityPaths {
   def adjacency(edges: DataFrame): DataFrame =
     edges
       .select(col("subj").cast("long").as("a"), col("obj").cast("long").as("b"))
-      .where(col("a") =!= col("b"))
       .union(edges.select(col("obj").cast("long").as("a"), col("subj").cast("long").as("b")))
+      .where(col("a") =!= col("b")) // after the union: both orientations drop self-loops
       .distinct()
 
   /** Driver-local BFS; returns the path (list of entity ids) or None. */

@@ -40,7 +40,10 @@ object StreamingKG {
         GroupStateTimeout.NoTimeout()
       ) { (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
         val st = state.getOption.getOrElse(ConvState(0, Set.empty))
-        var buffered = st.buffered ++ rows.map(_.turn_idx)
+        // replays of already-emitted indices (idx < nextExpected) must
+        // not enter the buffer — they can never become contiguous again
+        // and would grow state without bound under duplicate input
+        var buffered = st.buffered ++ rows.map(_.turn_idx).filter(_ >= st.nextExpected)
         var next = st.nextExpected
         val out = scala.collection.mutable.ListBuffer.empty[ChainEdge]
         while (buffered.contains(next)) {

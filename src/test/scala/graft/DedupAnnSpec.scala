@@ -116,6 +116,47 @@ class DedupAnnSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("tiled cosinePairs equals the crossJoin oracle exactly (pairs AND scores)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(embs)
+    val want = Dedup
+      .cosinePairsBrute(emb, "vec_id", "embedding", 0.25)
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSet
+    assert(want.nonEmpty)
+    // several tilings, including one forcing many blocks and the
+    // degenerate single-block case — pair set must be tiling-invariant
+    for (bs <- Seq(7, 64, 100000)) {
+      val got = Dedup
+        .cosinePairs(emb, "vec_id", "embedding", 0.25, blockSize = bs)
+        .as[(Long, Long, Double)]
+        .collect()
+        .toSet
+      assert(got == want, s"blockSize=$bs: ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    }
+  }
+
+  test("SRP-blocked approx cosine pairs: precision 1.0, high recall at tight threshold") {
+    import spark.implicits._
+    val emb = spark.read.parquet(embs)
+    // this corpus tops out at cosine ~0.51 (angle 60°) — far from the
+    // near-parallel regime the default knobs (8 planes) target, so set
+    // the banding for the test threshold: p=3, L=16 gives theoretical
+    // recall 1-(1-0.648^3)^16 = 0.994 at t=0.45 (Charikar collision
+    // prob 1 - theta/pi = 0.648)
+    val t = 0.45
+    val want = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", t)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.cosinePairsApprox(emb, "vec_id", "embedding", t, numPlanes = 3, numTables = 16)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(want.nonEmpty)
+    assert(got.subsetOf(want), "residual exact filter must kill every false positive")
+    val recall = (got & want).size.toDouble / want.size
+    info(f"approx cosine recall=$recall%.3f (${got.size}/${want.size})")
+    assert(recall >= 0.7)
+  }
+
   test("exact + normalized dedup survivors are originals and idempotent") {
     import spark.implicits._
     val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))

@@ -73,6 +73,50 @@ class PropertySpec extends SparkSpec {
     assert(recall >= 0.95)
   }
 
+  test("linkEdges handles single-informative-token surfaces (ANSI element_at regression)") {
+    import spark.implicits._
+    // "Google" / "Google Inc" tokenize to ONE informative token each
+    // (Inc is a stop token) — the prefix-blocking key used to throw
+    // INVALID_ARRAY_INDEX_IN_ELEMENT_AT under Spark 4 ANSI mode.
+    val surfaces = Seq(
+      (1L, "Google"),
+      (2L, "Google Inc"),
+      (3L, "Yarrow Systems"),
+      (4L, "Yarrow Systems Inc")
+    ).toDF("id", "surface")
+    val got = Linker.linkEdges(spark, surfaces).map(e => (e.src, e.dst)).collect().toSet
+    assert(got.contains((1L, 2L)), s"single-token variants must link: $got")
+    assert(got.contains((3L, 4L)))
+    assert(!got.exists { case (a, b) => (a <= 2) != (b <= 2) }, s"cross-entity link: $got")
+  }
+
+  test("imputeGroupMedian: per-group median, global fallback, null group keeps own median") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some(1.0)), ("g1", Some(3.0)), ("g1", None),          // g1 median 2.0
+      ("g2", None), ("g2", None),                                  // all-null group -> global
+      (null.asInstanceOf[String], Some(10.0)), (null, None),       // NULL group median 10.0
+      ("g3", Some(5.0))
+    ).toDF("grp", "v")
+    val got = graft.ops.Stats
+      .imputeGroupMedian(df, "grp", "v", "v_imp")
+      .select($"grp", $"v", $"v_imp")
+      .collect()
+      .map(r => (r.getString(0), Option(r.get(1)).map(_.asInstanceOf[Double]), r.getDouble(2)))
+      .toSet
+    // global median over non-null values {1,3,10,5} = 4.0
+    assert(got == Set(
+      ("g1", Some(1.0), 1.0), ("g1", Some(3.0), 3.0), ("g1", None, 2.0),
+      ("g2", None, 4.0), ("g2", None, 4.0),
+      (null, Some(10.0), 10.0), (null, None, 10.0),
+      ("g3", Some(5.0), 5.0)
+    ), s"got $got")
+    // plan shape: no single-partition window exchange
+    val plan = graft.ops.Stats.imputeGroupMedian(df, "grp", "v", "v_imp")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "global median must not be a Window")
+  }
+
   test("weightedJaccard with uniform weights equals plain jaccard") {
     val rnd = new Random(5)
     for (_ <- 1 to 50) {

@@ -35,6 +35,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set(("a", 0, 1), ("a", 1, 2), ("b", 0, 1)))
   }
 
+  test("replayed already-emitted turns neither re-emit edges nor grow state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Turn]
+    val edges = StreamingKG.consecutiveEdges(spark, input.toDS())
+    val q = edges.writeStream
+      .format("memory")
+      .queryName("chain_edges_replay")
+      .outputMode("append")
+      .start()
+
+    input.addData(turn("a", 0), turn("a", 1))
+    q.processAllAvailable()
+    // replay processed turns (duplicate delivery) + one new turn; the
+    // replays must not re-enter the buffer (idx < nextExpected) — the
+    // pre-fix behavior accumulated them forever in ConvState.buffered
+    input.addData(turn("a", 0), turn("a", 1), turn("a", 2))
+    q.processAllAvailable()
+    input.addData(turn("a", 0)) // replay again once state is past it
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT * FROM chain_edges_replay").as[(String, Int, Int)].collect().toList
+    assert(got.sorted == List(("a", 0, 1), ("a", 1, 2)))
+  }
+
   test("streaming triples match the batch extractor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
