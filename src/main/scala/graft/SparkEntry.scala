@@ -440,6 +440,98 @@ object SparkEntry {
         .select(col("session"), col("n_in"), col("n_out"))
     }),
 
+    // ---- J4 stage-2: best-window-per-session similarity join (the
+    //      reference's find_best_window_in_ride over the turn stream).
+    //      Turns = events ordered per user; per-turn token set =
+    //      {type token, grid-cell token}; pattern = the min user's first
+    //      8 turns; score = mean aligned (1 - Jaccard), tol 0.9.
+    "q_window_match" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+      val toks = ev.select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        array(
+          xxhash64(concat(lit("t:"), col("event_type"))),
+          xxhash64(concat(lit("c:"), floor(col("value") / 5.0).cast("long").cast("string")))
+        ).as("tokens")
+      )
+      val refU = ev.agg(min(col("user_id"))).head().getLong(0)
+      val patTurns = toks
+        .where(col("user_id") === refU)
+        .sort(col("ts"), col("event_id"))
+        .limit(8)
+        .select(col("tokens"))
+        .collect()
+        .map(_.getSeq[Long](0).toArray)
+      val pattern = graft.link.WindowMatch.WindowPattern(0L, patTurns)
+      graft.link.WindowMatch
+        .bestWindowPerSession(
+          s,
+          toks.where(col("user_id") =!= refU),
+          "user_id",
+          Seq("ts", "event_id"),
+          "tokens",
+          Seq(pattern),
+          tol = 0.9
+        )
+        .select(col("conv_id").cast("long").as("user_id"), col("start_idx"), col("end_idx"), col("score"))
+    }),
+
+    // ---- S7/S8/G4 under the driver check: write a derived graph via
+    //      the Materialize sinks (lineage + manifest), read it back,
+    //      return per-table counters.
+    "q_sink_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_sink/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh write each run
+      val ev = read(s, dir, "events")
+      val edges = Sequences
+        .leadEdges(ev, "user_id", Seq("ts", "event_id"), "event_id")
+        .select(col("user_id").cast("string").as("conv_id"), col("src"), col("dst"))
+      val vertices = ev.select(col("event_id")).distinct()
+      graft.graph.Materialize.writeVertices(vertices, out)
+      graft.graph.Materialize.writeEdges(s, edges, out)
+      graft.graph.Materialize.writeManifest(s, out)
+      val (v, e) = graft.graph.Materialize.stats(s, out)
+      Seq(("edges", e), ("vertices", v)).toDF("table_name", "n_rows")
+    }),
+
+    // ---- case-study-1 tail: top keys with ties kept, winners deduped
+    //      by normalized form (corpus engineered with case-variant ties)
+    "q_topk_ties_dedup" -> ((s, dir) => {
+      val ev = read(s, dir, "events").select(col("event_type"))
+      val corpus = ev.union(ev.select(upper(col("event_type")).as("event_type")))
+      Stats.topWithTiesDeduped(corpus, "event_type", lower)
+    }),
+
+    // ---- A7 reference-parity greedy overlap dedup (sequential accept
+    //      loop — not SQL-expressible; rows-only, spec-verified vs CC)
+    "q_greedy_segments" -> ((s, dir) => {
+      val iv = read(s, dir, "events")
+        .groupBy(col("event_type").as("group"), col("user_id").as("id"))
+        .agg(
+          floor(min(col("value")) / 5.0).cast("int").as("start"),
+          floor(max(col("value")) / 5.0).cast("int").as("end"),
+          count(lit(1)).as("weight")
+        )
+      graft.canon.GreedyOverlapDedup.perGroup(s, iv, 0.5)
+    }),
+
+    // ---- S11/S12: per-point GeoJSON export (whitelist + every-Nth +
+    //      cap) as data
+    "q_geojson_points" -> ((s, dir) => {
+      val ev = read(s, dir, "events")
+        .withColumn("x", col("value"))
+        .withColumn("y", pmod(col("value") * 37.0, lit(100.0)))
+      graft.viz.VizPrep
+        .geoJsonPoints(ev, "user_id", Seq("ts", "event_id"), "x", "y",
+          Seq("event_id", "event_type"), every = 5, cap = 10)
+        .select(col("session"), col("event_id"), col("geojson"))
+    }),
+
     // ---- KG analytics (rows-only; spec-verified in ModulesSpec)
     "kg_cooccurrence" -> ((s, dir) =>
       graft.analytics.EntityAggregates.coOccurrence(kgResult(s, dir).edges.toDF(), 2L)),
@@ -715,6 +807,57 @@ object SparkEntry {
           |SELECT user_id, count(*) AS n_in_range
           |FROM events, ref WHERE value >= lo AND value <= hi
           |GROUP BY user_id""".stripMargin,
+      "q_window_match" ->
+        """WITH seq AS (
+          |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+          |  FROM events),
+          |refu AS (SELECT min(user_id) AS u FROM events),
+          |pat AS (SELECT idx AS pidx, tkt AS ptkt, tkc AS ptkc FROM seq, refu WHERE user_id = u AND idx <= 8),
+          |aligned AS (
+          |  SELECT s.user_id, s.idx - p.pidx + 1 AS start,
+          |    (CASE WHEN s.tkt = p.ptkt THEN 1 ELSE 0 END) + (CASE WHEN s.tkc = p.ptkc THEN 1 ELSE 0 END) AS inter
+          |  FROM seq s CROSS JOIN refu JOIN pat p ON s.idx - p.pidx >= 0
+          |  WHERE s.user_id <> refu.u),
+          |scores AS (
+          |  SELECT user_id, start, round(1.0 - avg(inter / (4.0 - inter)), 6) AS score
+          |  FROM aligned WHERE start >= 1
+          |  GROUP BY user_id, start HAVING count(*) = 8),
+          |best AS (SELECT user_id, start, score,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY score ASC, start ASC) AS rn FROM scores)
+          |SELECT user_id, start AS start_idx, start + 7 AS end_idx, score
+          |FROM best WHERE rn = 1 AND score <= 0.9""".stripMargin,
+      "q_sink_roundtrip" ->
+        """SELECT 'edges' AS table_name, count(*) AS n_rows FROM (
+          |  SELECT lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events)
+          |WHERE dst IS NOT NULL
+          |UNION ALL
+          |SELECT 'vertices', count(DISTINCT event_id) FROM events""".stripMargin,
+      "q_topk_ties_dedup" ->
+        """WITH corpus AS (
+          |  SELECT event_type FROM events UNION ALL SELECT upper(event_type) FROM events),
+          |counted AS (SELECT event_type, count(*) AS cnt FROM corpus GROUP BY event_type),
+          |winners AS (SELECT event_type, cnt FROM counted WHERE cnt = (SELECT max(cnt) FROM counted))
+          |SELECT event_type, cnt FROM (
+          |  SELECT event_type, cnt,
+          |    row_number() OVER (PARTITION BY lower(event_type) ORDER BY event_type ASC) AS rn
+          |  FROM winners) WHERE rn = 1""".stripMargin,
+      "q_geojson_points" ->
+        """WITH pts AS (
+          |  SELECT user_id, ts, event_id, event_type, value AS x,
+          |    ((value * 37.0) % 100.0 + 100.0) % 100.0 AS y,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          |  FROM events),
+          |ds AS (
+          |  SELECT * FROM (SELECT * FROM pts WHERE (rn - 1) % 5 = 0)
+          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn) <= 10)
+          |SELECT user_id AS session, event_id,
+          |  '{"type":"Feature","properties":{"event_id":"' || CAST(event_id AS VARCHAR)
+          |  || '","event_type":"' || event_type
+          |  || '"},"geometry":{"type":"Point","coordinates":['
+          |  || CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR) || ','
+          |  || CAST(CAST(round(y, 6) AS DECIMAL(18,6)) AS VARCHAR) || ']}}' AS geojson
+          |FROM ds""".stripMargin,
       "q_text_stats" -> {
         val (scores, best, whens) = langCase
         s"""SELECT doc_id,

@@ -85,6 +85,76 @@ object Materialize {
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vertices")
 
+  /** S9 column-level upsert — the reference's weather-backfill MERGE
+    * (/root/reference/examples/updateWeatherNeo4j.jl:117-138) over the
+    * materialized edge layout: update selected columns on existing rows
+    * keyed by `keyCols`, touching ONLY the buckets that contain updated
+    * keys (partition-pruned read-modify-write — the Iceberg
+    * copy-on-write MERGE shape without the runtime jar).
+    *
+    * `updates` must carry conv_id (the bucketing key) + keyCols +
+    * updateCols. Plan: bucket the updates, collect the affected bucket
+    * ids (tiny), read only those partitions, LEFT join the updates on
+    * the keys (update side is the small side — broadcast-eligible),
+    * coalesce(new, old) per update column, rewrite those buckets via a
+    * staging dir + per-bucket swap, and append an 'upsert' lineage row
+    * per bucket. Re-running the same upsert is a no-op by value
+    * (coalesce of identical values), so the operator is idempotent.
+    *
+    * @return number of rows in the rewritten buckets
+    */
+  def upsertColumns(
+      spark: SparkSession,
+      outDir: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      updateCols: Seq[String],
+      numBuckets: Int = 32
+  ): Long = {
+    import spark.implicits._
+    val upd = withBucket(updates, numBuckets)
+    val affected = upd.select(col(BucketCol)).distinct().as[Int].collect().sorted
+    if (affected.isEmpty) return 0L
+
+    val edgesPath = s"$outDir/edges"
+    val existing = spark.read.parquet(edgesPath)
+      .where(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+
+    val renamedUpd = updateCols.foldLeft(
+      upd.select((keyCols.map(col) ++ updateCols.map(col)): _*)
+    )((d, c) => d.withColumnRenamed(c, s"_upd_$c"))
+    val merged0 = existing.join(broadcast(renamedUpd), keyCols, "left")
+    val merged = updateCols
+      .foldLeft(merged0)((d, c) => d.withColumn(c, coalesce(col(s"_upd_$c"), col(c))))
+      .drop(updateCols.map(c => s"_upd_$c"): _*)
+      .select(existing.columns.map(col): _*)
+
+    // staging write, then per-bucket swap (rename is atomic per bucket;
+    // a crash mid-swap is healed by re-running the same upsert)
+    val staging = s"$outDir/_staging_upsert"
+    merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.foreach { b =>
+      val dst = new org.apache.hadoop.fs.Path(s"$edgesPath/$BucketCol=$b")
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$BucketCol=$b")
+      if (fs.exists(src)) {
+        if (fs.exists(dst)) fs.delete(dst, true)
+        fs.rename(src, dst)
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+
+    val counters = spark.read.parquet(edgesPath)
+      .where(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
+      .groupBy(col(BucketCol).as("bucket"))
+      .agg(count(lit(1)).as("rows"), countDistinct(col("conv_id")).as("convs"))
+      .withColumn("written_at", current_timestamp())
+    val total = counters.agg(sum(col("rows"))).head().getLong(0)
+    counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+    total
+  }
+
   /** S10: CSV sink for case-study outputs
     * (/root/reference/examples/main.jl:188-189) — debug/interchange
     * only; Parquet is the real format.

@@ -131,4 +131,21 @@ object Stats {
     val mx = counted.agg(max(col("cnt")).as("mx"))
     counted.join(broadcast(mx), counted("cnt") === mx("mx")).select(col(keyCol), col("cnt"))
   }
+
+  /** The case-study-1 TAIL composed (reference
+    * /root/reference/examples/case_study_1.jl:98-126): top keys with
+    * ties kept, then the tied winners deduped by a caller-supplied
+    * normalized form — keep the smallest key per normalization group
+    * (the reference's pairwise-similarity dedup of tied winners, with
+    * the similarity expressed as normalizer equality so the operator
+    * stays a deterministic window over the tiny winner set).
+    */
+  def topWithTiesDeduped(df: DataFrame, keyCol: String, normalizer: Column => Column): DataFrame = {
+    val winners = topWithTies(df, keyCol)
+    val w = Window.partitionBy(normalizer(col(keyCol))).orderBy(col(keyCol).asc)
+    winners
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

@@ -51,4 +51,51 @@ object VizPrep {
       ).as("geojson")
     )
   }
+
+  /** Per-point Feature export with property whitelist, every-Nth
+    * sampling and a per-session point cap — the reference's point-layer
+    * exporter composed as one sink prep
+    * (/root/reference/src/Visualizer.jl:185-251: property subset +
+    * `max_points` + stride sampling). Coordinates are fixed to 6 dp via
+    * DECIMAL so the rendered string is engine-portable; whitelisted
+    * properties are rendered as JSON string values in the given order.
+    * Columnar end to end: downsample (one session-key shuffle) + a
+    * select — no UDF.
+    */
+  def geoJsonPoints(
+      df: DataFrame,
+      sessionCol: String,
+      orderCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      props: Seq[String],
+      every: Int = 1,
+      cap: Int = 10000
+  ): DataFrame = {
+    val slim = Sequences.downsample(df, sessionCol, orderCols, every, cap)
+    def coord(c: String) = round(col(c), 6).cast("decimal(18,6)").cast("string")
+    val propJson =
+      if (props.isEmpty) lit("")
+      else
+        concat(
+          props.zipWithIndex.map { case (p, i) =>
+            concat(
+              lit((if (i == 0) "" else ",") + "\"" + p + "\":\""),
+              col(p).cast("string"),
+              lit("\"")
+            )
+          }: _*
+        )
+    val outCols = Seq(col(sessionCol).as("session")) ++ orderCols.map(col) :+
+      concat(
+        lit("""{"type":"Feature","properties":{"""),
+        propJson,
+        lit("""},"geometry":{"type":"Point","coordinates":["""),
+        coord(xCol),
+        lit(","),
+        coord(yCol),
+        lit("]}}")
+      ).as("geojson")
+    slim.select(outCols: _*)
+  }
 }

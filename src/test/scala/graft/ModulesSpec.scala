@@ -102,4 +102,43 @@ class ModulesSpec extends SparkSpec {
     val lineage = spark.read.parquet(s"$out/_lineage")
     assert(lineage.agg(sum($"rows")).head().getLong(0) == 1000)
   }
+
+  test("materialize: column-level upsert backfills selected rows, idempotently") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val edges = (0 until 500)
+      .map(i => (i.toLong, "p", (i + 1).toLong, s"conv_${i % 20}", i))
+      .toDF("subj", "pred", "obj", "conv_id", "turn_idx")
+    Materialize.writeEdges(spark, edges, out, numBuckets = 8)
+
+    // backfill pred on 40 keyed rows (the weather-backfill MERGE shape)
+    val updates = (0 until 500 by 13)
+      .map(i => (s"conv_${i % 20}", i, "p_backfilled"))
+      .toDF("conv_id", "turn_idx", "pred")
+    val touched = Materialize.upsertColumns(
+      spark, out, updates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"), numBuckets = 8)
+    assert(touched > 0)
+
+    def readBack() = spark.read.parquet(s"$out/edges")
+      .select($"subj", $"pred", $"obj", $"conv_id", $"turn_idx")
+    val after = readBack().collect()
+    assert(after.length == 500, "row count preserved")
+    val updatedKeys = (0 until 500 by 13).toSet
+    after.foreach { r =>
+      val i = r.getAs[Int]("turn_idx")
+      val wantPred = if (updatedKeys.contains(i)) "p_backfilled" else "p"
+      assert(r.getAs[String]("pred") == wantPred, s"turn_idx=$i")
+      assert(r.getAs[Long]("subj") == i.toLong, "non-updated columns untouched")
+    }
+
+    // idempotent re-run: same updates -> identical table
+    Materialize.upsertColumns(
+      spark, out, updates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"), numBuckets = 8)
+    assert(readBack().collect().sortBy(_.getAs[Long]("subj")).sameElements(
+      after.sortBy(_.getAs[Long]("subj"))))
+
+    // upsert lineage rows were appended
+    val lineage = spark.read.parquet(s"$out/_lineage")
+    assert(lineage.count() > 8)
+  }
 }
