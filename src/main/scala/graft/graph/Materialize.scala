@@ -62,7 +62,12 @@ object Materialize {
       "left_anti"
     )
 
-    pending.write
+    // co-locate each bucket into one task before the partitioned write:
+    // without this every task writes to every bucket dir (tasks x
+    // buckets small files — the classic partitionBy file explosion)
+    pending
+      .repartition(numBuckets, col(BucketCol))
+      .write
       .mode(SaveMode.Overwrite)
       .partitionBy(BucketCol)
       .parquet(s"$outDir/edges")
