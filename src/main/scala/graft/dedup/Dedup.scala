@@ -110,6 +110,62 @@ object Dedup {
       .where($"jaccard" >= cfg.jaccardThreshold)
   }
 
+  /** EXACT word-shingle Jaccard similarity join via prefix filtering
+    * (Chaudhuri/Ganti/Kaushik SSJoin, ICDE'06; Bayardo/Ma/Srikant
+    * AllPairs, WWW'07): under any fixed total order on shingles, a pair
+    * with J >= t must share a shingle among the first
+    * p = |S| - ceil(t*|S|) + 1 ordered shingles of EACH side — so
+    * exploding only the prefixes into narrow (token, id) rows and
+    * equi-joining on the token is recall-complete, and the exact
+    * scorer runs only on candidates. Unlike MinHash banding this loses
+    * NO pairs; unlike the crossJoin it never materializes the pair
+    * space (candidate volume shrinks as t rises). Ordering here is by
+    * shingle hash (uniform); ordering by ascending corpus frequency is
+    * the standard selectivity upgrade when a frequency dictionary is
+    * worth its extra pass at production scale.
+    */
+  def jaccardPairsExact(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double
+  ): DataFrame = {
+    import spark.implicits._
+    val shingled = df
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, wordShingles(t, shingleN).sorted) }
+      .toDF("id", "sh")
+
+    val prefixes = shingled
+      .as[(Long, Array[Long])]
+      .flatMap { case (id, sh) =>
+        // conservative ceil (the -1e-9 guards float noise on exact
+        // integers; a LONGER prefix is always still recall-complete)
+        val p = sh.length - math.ceil(threshold * sh.length - 1e-9).toInt + 1
+        sh.iterator.take(math.max(p, 1)).map(tok => (tok, id))
+      }
+      .toDF("tok", "id")
+
+    val candidates = prefixes
+      .select($"tok", $"id".as("id_a"))
+      .join(prefixes.select($"tok", $"id".as("id_b")), Seq("tok"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b")
+      .distinct()
+
+    candidates
+      .join(shingled.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
+      .join(shingled.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
+      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (a, b, sa, sb) => (a, b, Linker.exactJaccard(sa, sb)) }
+      .toDF("id_a", "id_b", "jaccard")
+      .where($"jaccard" >= threshold)
+  }
+
   /** Brute-force n-gram Jaccard pairs (the small-scale oracle for the
     * LSH variant; O(n^2) — test scale only).
     */

@@ -116,6 +116,19 @@ class DedupAnnSpec extends SparkSpec {
     assert(again == approx)
   }
 
+  test("prefix-filtered exact Jaccard join equals the crossJoin oracle exactly") {
+    import spark.implicits._
+    val c = corpusWithClips
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val got = Dedup.jaccardPairsExact(spark, c, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = Dedup.exactJaccardPairs(spark, c, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"t=$t fixture empty")
+      assert(got == want, s"t=$t: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
+    }
+  }
+
   test("tiled cosinePairs equals the crossJoin oracle exactly (pairs AND scores)") {
     import spark.implicits._
     val emb = spark.read.parquet(embs)
