@@ -79,19 +79,12 @@ object Dedup {
 
     val banded = base
       .mapPartitions { it =>
-        it.map { case (id, t) => (id, Linker.signature(wordShingles(t, cfg.shingleK), cfg)) }
+        it.flatMap { case (id, t) =>
+          val keys = Linker.bandKeys(Linker.signature(wordShingles(t, cfg.shingleK), cfg), cfg)
+          keys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
+        }
       }
-      .toDF("id", "sig")
-      .select(
-        $"id",
-        explode(
-          expr(
-            s"transform(sequence(0, ${cfg.numBands - 1}), " +
-              s"b -> struct(b as band, hash(slice(sig, b * ${cfg.rowsPerBand} + 1, ${cfg.rowsPerBand}), b) as bh))"
-          )
-        ).as("bk")
-      )
-      .select($"id", $"bk.band", $"bk.bh")
+      .toDF("id", "band", "bh")
 
     val candidates = banded
       .select($"band", $"bh", $"id".as("id_a"))

@@ -126,4 +126,32 @@ object Mentions {
       it.map(t => extractTurn(ac, t))
     }
   }
+
+  /** Distinct surface ids observed anywhere in the corpus — the
+    * vertices consumer's ONLY need from the turn stream. A dedicated
+    * narrow pass: same trie scan, but no span/substring/triple
+    * materialization, and per-partition dedup bounded by |dict| means
+    * the map emits at most |dict| longs per partition (manual column
+    * pruning — a typed full extraction can't be pruned by Catalyst).
+    */
+  def observedIds(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      bcSurfaces: Broadcast[Array[SurfaceForm]]
+  ): Dataset[Long] = {
+    import spark.implicits._
+    turns
+      .mapPartitions { it =>
+        val ac = trieFor(bcSurfaces)
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { t =>
+          if (t.text != null) {
+            var ms = ac.findMentions(t.text)
+            while (ms.nonEmpty) { seen.update(ms.head.id, ()); ms = ms.tail }
+          }
+        }
+        seen.keysIterator
+      }
+      .distinct()
+  }
 }

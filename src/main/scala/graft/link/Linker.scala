@@ -96,6 +96,20 @@ object Linker {
     sig
   }
 
+  /** One LSH band key per band: a pure-Scala mix of the band's
+    * signature slice. Shared by the distributed plan (precomputed in
+    * the signing mapPartitions, posexploded) and the driver-local fast
+    * path, so both produce IDENTICAL candidate buckets.
+    */
+  def bandKeys(sig: Array[Long], cfg: LshConfig): Array[Long] =
+    Array.tabulate(cfg.numBands) { b =>
+      var h = mix64(cfg.seed ^ (b + 1).toLong)
+      var i = b * cfg.rowsPerBand
+      val end = i + cfg.rowsPerBand
+      while (i < end) { h = mix3(h, sig(i), i.toLong); i += 1 }
+      h
+    }
+
   def exactJaccard(a: Array[Long], b: Array[Long]): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     val sa = a.toSet
@@ -207,14 +221,44 @@ object Linker {
       .toMap
   }
 
+  /** The deterministic second blocking channel (multi-pass blocking,
+    * standard entity-resolution practice): keyed on (first informative
+    * token, 2-char prefix of the second, trailing numeric token if
+    * any). Abbreviation variants clip the second token, which thins
+    * their shingle overlap right at the LSH recall edge — this channel
+    * catches every prefix-compatible pair with probability 1. The
+    * numeric-suffix component keeps name families ("X Systems 2..22")
+    * from pooling into one bucket that the hot-bucket cap would drop;
+    * same-entity variants always agree on it. A single-informative-
+    * token surface ("Google") gets a degenerate-but-valid key (second
+    * component folds to ""). Caller guarantees toks is non-empty.
+    */
+  def prefixKey(toks: Array[String]): Long = {
+    val t2p = if (toks.length >= 2) toks(1).take(2) else ""
+    val last = toks(toks.length - 1)
+    val num = if (last.nonEmpty && last.forall(c => c >= '0' && c <= '9')) last else ""
+    mix3(hashString(toks(0)), hashString(t2p), hashString(num))
+  }
+
+  /** All blocking keys of one surface: numBands MinHash band keys
+    * (positions 0..numBands-1) plus the prefix-channel key (position
+    * numBands) when the surface has informative tokens. Position = the
+    * channel id; shared by the distributed and driver-local paths.
+    */
+  def blockingKeys(toks: Array[String], sig: Array[Long], cfg: LshConfig): Array[Long] = {
+    val bands = bandKeys(sig, cfg)
+    if (toks.isEmpty) bands else bands :+ prefixKey(toks)
+  }
+
   /** Candidate link edges among `surfaces` (id, surface).
     *
-    * Plan: one row per (surface, band) with the band's hash → self
-    * equi-join on (band, bandHash) → distinct (src < dst) pairs →
-    * exact Jaccard filter. The join is an equi-join Catalyst can plan
-    * as a shuffled hash join; the theta part (score >= t) is a
-    * residual map-side filter — the same broad/narrow split the
-    * reference hand-rolls.
+    * Plan: one row per (surface, channel) with the channel's key
+    * (computed in the signing mapPartitions — pure Scala, identical to
+    * the driver-local fast path) → self equi-join on (band, bh) →
+    * distinct (src < dst) pairs → exact scorer filter. The join is an
+    * equi-join Catalyst plans as a shuffled hash join; the theta part
+    * (score >= t) is a residual map-side filter — the same
+    * broad/narrow split the reference hand-rolls.
     */
   def linkEdges(
       spark: SparkSession,
@@ -223,59 +267,20 @@ object Linker {
   ): Dataset[LinkEdge] = {
     import spark.implicits._
 
-    val withSig = surfaces
+    val withKeys = surfaces
       .select($"id".cast("long"), $"surface".cast("string"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, s) =>
           // tokenize once per surface; pairs downstream reuse the arrays
-          (id, tokensOf(s), signature(shingles(s, cfg.shingleK), cfg))
+          val toks = tokensOf(s)
+          (id, toks, blockingKeys(toks, signature(shingles(s, cfg.shingleK), cfg), cfg))
         }
       }
-      .toDF("id", "toks", "sig")
+      .toDF("id", "toks", "keys")
 
-    // one row per band: (band, bandHash, id, toks)
-    val minhashBanded = withSig
-      .select(
-        $"id",
-        $"toks",
-        explode(
-          expr(
-            s"transform(sequence(0, ${cfg.numBands - 1}), " +
-              s"b -> struct(b as band, hash(slice(sig, b * ${cfg.rowsPerBand} + 1, ${cfg.rowsPerBand}), b) as bh))"
-          )
-        ).as("bk")
-      )
-      .select($"id", $"toks", $"bk.band", $"bk.bh")
-
-    // multi-pass blocking (standard entity-resolution practice): a
-    // second, deterministic channel keyed on (first informative token,
-    // 2-char prefix of the second, trailing numeric token if any).
-    // Abbreviation variants clip the second token, which thins their
-    // shingle overlap right at the LSH recall edge — this channel
-    // catches every prefix-compatible pair with probability 1. The
-    // numeric-suffix component keeps name families ("X Systems 2..22")
-    // from pooling into one bucket that the hot-bucket cap would drop;
-    // same-entity variants always agree on it.
-    // try_element_at: Spark 4 ANSI mode makes plain element_at THROW on
-    // out-of-range indexes, so a single-token surface ("Google") must
-    // not index slot 2 directly — it gets a degenerate-but-valid key
-    // (second component folds to "").
-    val lastTok = try_element_at($"toks", lit(-1))
-    val prefixKeyed = withSig
-      .select(
-        $"id",
-        $"toks",
-        lit(-1).as("band"),
-        hash(
-          try_element_at($"toks", lit(1)),
-          substring(coalesce(try_element_at($"toks", lit(2)), lit("")), 1, 2),
-          when(lastTok.rlike("^[0-9]+$"), lastTok).otherwise(lit(""))
-        ).as("bh")
-      )
-      .where(size($"toks") >= 1)
-
-    val banded = minhashBanded.union(prefixKeyed)
+    val banded = withKeys
+      .select($"id", $"toks", posexplode($"keys").as(Seq("band", "bh")))
 
     // drop hot buckets before the self-join (see maxBucketSize doc)
     val keepBuckets = banded
@@ -303,5 +308,57 @@ object Linker {
       .filter(_.score >= cfg.jaccardThreshold)
 
     scored
+  }
+
+  /** Driver-local linkEdges fast path for broadcast-sized vocabularies
+    * (the reference's own in-memory regime; same dispatch idea as
+    * [[graft.canon.ConnectedComponents]]' driver-local union-find). The
+    * blocking keys, hot-bucket cap and scorer are the SAME functions
+    * the distributed plan uses, so the produced link set is identical —
+    * property-tested in LinkerLocalSpec. Replaces ~8 tiny Spark jobs
+    * with one in-memory pass: at an 18M-turn/3.6k-surface proxy run the
+    * distributed mapping cost ~3 s of fixed job overhead at 32 cores —
+    * pure ceiling loss, since linking cost depends on |dict|, not
+    * |turns|.
+    */
+  def linkEdgesLocal(
+      surfaces: Seq[(Long, String)],
+      cfg: LshConfig = LshConfig()
+  ): Seq[LinkEdge] = {
+    val n = surfaces.length
+    val ids = new Array[Long](n)
+    val toksArr = new Array[Array[String]](n)
+    val buckets = collection.mutable.HashMap.empty[(Int, Long), collection.mutable.ArrayBuffer[Int]]
+    var i = 0
+    for ((id, s) <- surfaces) {
+      ids(i) = id
+      toksArr(i) = tokensOf(s)
+      val keys = blockingKeys(toksArr(i), signature(shingles(s, cfg.shingleK), cfg), cfg)
+      var b = 0
+      while (b < keys.length) {
+        buckets.getOrElseUpdate((b, keys(b)), collection.mutable.ArrayBuffer.empty) += i
+        b += 1
+      }
+      i += 1
+    }
+    val pairs = collection.mutable.HashSet.empty[(Long, Long)]
+    for ((_, buf) <- buckets if buf.size > 1 && buf.size <= cfg.maxBucketSize) {
+      var a = 0
+      while (a < buf.size) {
+        var b = a + 1
+        while (b < buf.size) {
+          val (ia, ib) = (ids(buf(a)), ids(buf(b)))
+          if (ia != ib) pairs += (if (ia < ib) (ia, ib) else (ib, ia))
+          b += 1
+        }
+        a += 1
+      }
+    }
+    val byId = surfaces.indices.map(j => ids(j) -> j).toMap
+    val memo = collection.mutable.HashMap.empty[String, Array[Long]]
+    pairs.toSeq.sortBy(identity).flatMap { case (src, dst) =>
+      val score = tokenSimArr(toksArr(byId(src)), toksArr(byId(dst)), memo)
+      if (score >= cfg.jaccardThreshold) Some(LinkEdge(src, dst, score)) else None
+    }
   }
 }

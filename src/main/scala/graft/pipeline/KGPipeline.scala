@@ -36,6 +36,14 @@ object KGPipeline {
       mapping: DataFrame
   )
 
+  /** Below this vocabulary size the linking runs driver-local (the
+    * reference's own in-memory regime): the distributed mapping is ~8
+    * tiny jobs whose fixed overhead (~3 s at 32 cores) is pure ceiling
+    * loss when |dict| is broadcast-sized anyway. Both paths share the
+    * blocking/scoring functions and are property-tested equal.
+    */
+  val DriverLocalLinkThreshold: Int = 100000
+
   /** surface_id -> canonical id over the full dictionary: LSH blocking,
     * exact scoring, CC, singletons mapped to themselves.
     */
@@ -48,8 +56,13 @@ object KGPipeline {
     val dictDf = spark
       .createDataset(dict.map(s => (s.surfaceId, s.surface)))
       .toDF("id", "surface")
-    val links = Linker.linkEdges(spark, dictDf, lsh)
-    val cc = ConnectedComponents.run(spark, links.toDF("src", "dst", "score"))
+    val links =
+      if (dict.size <= DriverLocalLinkThreshold)
+        spark
+          .createDataset(Linker.linkEdgesLocal(dict.map(s => (s.surfaceId, s.surface)), lsh))
+          .toDF("src", "dst", "score")
+      else Linker.linkEdges(spark, dictDf, lsh).toDF("src", "dst", "score")
+    val cc = ConnectedComponents.run(spark, links)
     dictDf
       .join(cc, Seq("id"), "left")
       .select($"id", coalesce($"component", $"id").as("canonical"))
@@ -105,10 +118,14 @@ object KGPipeline {
 
     // vertices: canonical groups of the dictionary, restricted to
     // surfaces actually observed in the corpus (distinct over the
-    // mention vocabulary — small — not over the turn stream).
-    val observed = extraction
-      .select(explode($"mentions.entity_id").as("id"))
-      .distinct()
+    // mention vocabulary — small — not over the turn stream). When the
+    // extraction is cached, read the ids off it; otherwise use the
+    // dedicated narrow observed-ids scan instead of re-running the full
+    // extraction just to throw away everything but the ids.
+    val observed =
+      if (persistIntermediate)
+        extraction.select(explode($"mentions.entity_id").as("id")).distinct()
+      else Mentions.observedIds(spark, validTurns, bc).toDF("id")
     val dictDf = spark
       .createDataset(dict.map(s => (s.surfaceId, s.surface, s.entityType)))
       .toDF("id", "surface", "etype")
