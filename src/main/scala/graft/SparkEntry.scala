@@ -292,6 +292,21 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // ---- dedup: survivors of the exact near-dup join under the
+    //      pairwise smaller-id-wins policy (composition oracle)
+    "q_neardup_survivors" -> ((s, dir) => {
+      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clipped = d
+        .where(col("doc_id") % 4 === 0)
+        .select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
+            .as("text")
+        )
+      Dedup.nearDupSurvivors(s, d.union(clipped), "doc_id", "text", 3, 0.6)
+        .select(col("doc_id"))
+    }),
+
     // ---- dedup: SimHash near-dup pairs (rows-only; spec-verified)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3)
@@ -844,6 +859,25 @@ object SparkEntry {
           |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
           |WHERE jaccard >= 0.6""".stripMargin,
+      "q_neardup_survivors" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 200000,
+          |    array_to_string(w[1:greatest(len(w) - 3, 1)], ' ')
+          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 4 = 0)),
+          |sh AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+          |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+          |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+          |  FROM (SELECT doc_id,
+          |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+          |        FROM corpus))
+          |SELECT doc_id FROM sh WHERE doc_id NOT IN (
+          |  SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)""".stripMargin,
       "q_window_match" ->
         """WITH seq AS (
           |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,

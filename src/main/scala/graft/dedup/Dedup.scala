@@ -159,6 +159,29 @@ object Dedup {
       .where($"jaccard" >= threshold)
   }
 
+  /** Near-dup dedup SURVIVORS under the pairwise smaller-id-wins
+    * policy: drop every document that has an above-threshold pair with
+    * a smaller id. (The transitive-closure policy is CC + min-id — the
+    * KG pipeline's canonicalization; this pairwise policy is the common
+    * streaming-friendly variant, and is exactly SQL-expressible, so the
+    * whole exact-join + dedup composition gets a hard oracle.) Plan:
+    * prefix-filtered exact join → distinct larger-side ids → one
+    * anti-join.
+    */
+  def nearDupSurvivors(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int,
+      threshold: Double
+  ): DataFrame = {
+    val dominated = jaccardPairsExact(spark, df, idCol, textCol, shingleN, threshold)
+      .select(col("id_b").as(idCol))
+      .distinct()
+    df.join(dominated, df(idCol).cast("long") === dominated(idCol), "left_anti")
+  }
+
   /** Brute-force n-gram Jaccard pairs (the small-scale oracle for the
     * LSH variant; O(n^2) — test scale only).
     */

@@ -28,31 +28,50 @@ object StreamingKG {
   /** Per-conv state: next expected turn index + buffered early turns. */
   final case class ConvState(nextExpected: Int, buffered: Set[Int])
 
+  /** @param idleTimeoutMs when > 0, a conversation whose state has seen
+    *        no input for this long is evicted (ProcessingTimeTimeout) —
+    *        bounds total state under abandoned/garbled conversations.
+    *        0 keeps state forever (exact, test-friendly default). The
+    *        event-time alternative is a watermark on ts + timeout on
+    *        the watermark; processing-time is the conservative choice
+    *        when transcript ts skew is unbounded.
+    */
   def consecutiveEdges(
       spark: SparkSession,
-      turns: Dataset[Turn]
+      turns: Dataset[Turn],
+      idleTimeoutMs: Long = 0L
   ): Dataset[ChainEdge] = {
     import spark.implicits._
+    val timeoutConf =
+      if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     turns
       .groupByKey(_.conv_id)
       .flatMapGroupsWithState[ConvState, ChainEdge](
         OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()
+        timeoutConf
       ) { (convId: String, rows: Iterator[Turn], state: GroupState[ConvState]) =>
-        val st = state.getOption.getOrElse(ConvState(0, Set.empty))
-        // replays of already-emitted indices (idx < nextExpected) must
-        // not enter the buffer — they can never become contiguous again
-        // and would grow state without bound under duplicate input
-        var buffered = st.buffered ++ rows.map(_.turn_idx).filter(_ >= st.nextExpected)
-        var next = st.nextExpected
-        val out = scala.collection.mutable.ListBuffer.empty[ChainEdge]
-        while (buffered.contains(next)) {
-          if (next > 0) out += ChainEdge(convId, next - 1, next)
-          buffered -= next
-          next += 1
+        if (state.hasTimedOut) {
+          // abandoned conversation: drop its out-of-order buffer
+          state.remove()
+          Iterator.empty
+        } else {
+          val st = state.getOption.getOrElse(ConvState(0, Set.empty))
+          // replays of already-emitted indices (idx < nextExpected) must
+          // not enter the buffer — they can never become contiguous again
+          // and would grow state without bound under duplicate input
+          var buffered = st.buffered ++ rows.map(_.turn_idx).filter(_ >= st.nextExpected)
+          var next = st.nextExpected
+          val out = scala.collection.mutable.ListBuffer.empty[ChainEdge]
+          while (buffered.contains(next)) {
+            if (next > 0) out += ChainEdge(convId, next - 1, next)
+            buffered -= next
+            next += 1
+          }
+          state.update(ConvState(next, buffered))
+          if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+          out.iterator
         }
-        state.update(ConvState(next, buffered))
-        out.iterator
       }
   }
 

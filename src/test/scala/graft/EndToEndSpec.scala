@@ -60,6 +60,23 @@ class EndToEndSpec extends SparkSpec {
     assert(spark.read.option("header", "true").csv(s"$out/vertices_csv").count() == v)
   }
 
+  test("RunPipeline: spark-submit entry runs end-to-end and resumes as a no-op") {
+    val cfg = GenConfig(seed = 9L, numConvs = 30, numEntities = 25)
+    val dict = Dictionary.build(cfg.seed, cfg.numEntities)
+    val turns = TranscriptGen.transcripts(spark, cfg)
+    val out = java.nio.file.Files.createTempDirectory("graft_runpipe").toString
+
+    val (v1, e1, w1) = RunPipeline.run(spark, turns, dict, out, numBuckets = 8)
+    assert(v1 > 0 && e1 > 0 && w1 > 0)
+    // restart with identical input: every bucket is in the lineage
+    // ledger -> zero buckets rewritten, identical table contents
+    val (v2, e2, w2) = RunPipeline.run(spark, turns, dict, out, numBuckets = 8)
+    assert(w2 == 0 && v2 == v1 && e2 == e1)
+    // arg parsing round-trip
+    val a = RunPipeline.parse(List("--synth", "100:40", "--out", "/x", "--buckets", "16"))
+    assert(a.synth.contains((100, 40)) && a.out == "/x" && a.buckets == 16)
+  }
+
   test("driver contract: entry() smoke returns rows; queries/oracle keys align") {
     assert(SparkEntry.entry(spark).count() > 0)
     // every oracle key must have a query
