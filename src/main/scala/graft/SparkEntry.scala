@@ -524,7 +524,8 @@ object SparkEntry {
         .select(col("user_id").cast("string").as("conv_id"), col("src"), col("dst"))
       val vertices = ev.select(col("event_id")).distinct()
       graft.graph.Materialize.writeVertices(vertices, out)
-      graft.graph.Materialize.writeEdges(s, edges, out)
+      // 8 buckets: ~100k rows at sf0.1 — bucket count sizes to data
+      graft.graph.Materialize.writeEdges(s, edges, out, numBuckets = 8)
       graft.graph.Materialize.writeManifest(s, out)
       val (v, e) = graft.graph.Materialize.stats(s, out)
       Seq(("edges", e), ("vertices", v)).toDF("table_name", "n_rows")

