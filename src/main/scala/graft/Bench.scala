@@ -27,7 +27,11 @@ object Bench {
 
     val tables = Seq("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
-    tables.foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+    // warm-up failures must not abort the bench — a missing table only
+    // affects the queries that read it (whose timed body also catches)
+    tables.foreach(t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () })
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()

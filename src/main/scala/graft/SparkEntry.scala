@@ -924,8 +924,10 @@ object SparkEntry {
           |  SELECT * FROM (SELECT * FROM pts WHERE (rn - 1) % 5 = 0)
           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn) <= 10)
           |SELECT user_id AS session, event_id,
-          |  '{"type":"Feature","properties":{"event_id":"' || CAST(event_id AS VARCHAR)
-          |  || '","event_type":"' || event_type
+          |  '{"type":"Feature","properties":{"event_id":"'
+          |  || coalesce(regexp_replace(CAST(event_id AS VARCHAR), '([\\"])', '\\\1', 'g'), '')
+          |  || '","event_type":"'
+          |  || coalesce(regexp_replace(event_type, '([\\"])', '\\\1', 'g'), '')
           |  || '"},"geometry":{"type":"Point","coordinates":['
           |  || CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR) || ','
           |  || CAST(CAST(round(y, 6) AS DECIMAL(18,6)) AS VARCHAR) || ']}}' AS geojson

@@ -72,13 +72,16 @@ object Ann {
       k: Int,
       numPlanes: Int = 4,
       numTables: Int = 8,
-      dim: Int = 64,
+      dim: Int = -1, // <= 0: infer from the first corpus vector
       seed: Long = 42L,
       multiProbe: Boolean = true
   ): DataFrame = {
     import spark.implicits._
+    val d =
+      if (dim > 0) dim
+      else corpus.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
     val pls = Array.tabulate(numTables, numPlanes)((t, p) =>
-      hyperplane(seed, t * numPlanes + p, dim)
+      hyperplane(seed, t * numPlanes + p, d)
     )
     val bc = spark.sparkContext.broadcast(pls)
 

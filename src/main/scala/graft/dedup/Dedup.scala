@@ -429,14 +429,18 @@ object Dedup {
       threshold: Double,
       numPlanes: Int = 8,
       numTables: Int = 12,
-      dim: Int = 64,
+      dim: Int = -1, // <= 0: infer from the first vector (a truncated
+      // plane silently ignores the tail dimensions and degrades recall)
       seed: Long = 42L
   ): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import graft.ann.Ann
+    val d =
+      if (dim > 0) dim
+      else df.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
     val planes = Array.tabulate(numTables, numPlanes)((t, p) =>
-      Array.tabulate(dim)(j => Hashing.toUnit(Hashing.mix3(seed, (t * numPlanes + p).toLong, j.toLong)) * 2 - 1)
+      Array.tabulate(d)(j => Hashing.toUnit(Hashing.mix3(seed, (t * numPlanes + p).toLong, j.toLong)) * 2 - 1)
     )
     val bc = spark.sparkContext.broadcast(planes)
     val src = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]

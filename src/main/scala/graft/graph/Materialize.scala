@@ -97,14 +97,29 @@ object Materialize {
     * keys (partition-pruned read-modify-write — the Iceberg
     * copy-on-write MERGE shape without the runtime jar).
     *
-    * `updates` must carry conv_id (the bucketing key) + keyCols +
-    * updateCols. Plan: bucket the updates, collect the affected bucket
-    * ids (tiny), read only those partitions, LEFT join the updates on
-    * the keys (update side is the small side — broadcast-eligible),
-    * coalesce(new, old) per update column, rewrite those buckets via a
-    * staging dir + per-bucket swap, and append an 'upsert' lineage row
-    * per bucket. Re-running the same upsert is a no-op by value
-    * (coalesce of identical values), so the operator is idempotent.
+    * `updates` must carry keyCols + updateCols, and keyCols MUST
+    * include conv_id (the bucketing key) — otherwise bucket pruning
+    * would be unsound: a key that doesn't determine the bucket could
+    * match rows in unaffected (unread) buckets. Updates must be UNIQUE
+    * on keyCols (checked; MERGE's multiple-match is an error, exactly
+    * like Delta/Iceberg MERGE INTO — a duplicate update key would fan
+    * out the join and duplicate edge rows). Plan: bucket the updates,
+    * collect the affected bucket ids (tiny), read only those
+    * partitions, LEFT join the updates on the keys (update side is the
+    * small side — broadcast-eligible), coalesce(new, old) per update
+    * column, rewrite those buckets via a staging dir + per-bucket
+    * move-aside swap, and append an 'upsert' lineage row per bucket.
+    * Re-running the same upsert is a no-op by value (coalesce of
+    * identical values), so the operator is idempotent.
+    *
+    * Crash safety: each bucket swap is (1) rename live dir aside to
+    * `_bak_<dir>` (the leading underscore hides it from Spark's file
+    * listing, so a crashed swap never corrupts partition discovery for
+    * concurrent readers), (2) rename staging dir in, (3) delete the
+    * bak. Every run first HEALS interrupted swaps — a bak with no live
+    * dir is restored (crash between 1 and 2); a bak beside a live dir
+    * is stale and deleted (crash between 2 and 3). No step ever leaves
+    * the only copy of a bucket in a directory a re-run overwrites.
     *
     * @return number of rows in the rewritten buckets
     */
@@ -117,11 +132,36 @@ object Materialize {
       numBuckets: Int = 32
   ): Long = {
     import spark.implicits._
+    require(keyCols.contains("conv_id"),
+      "keyCols must include conv_id (the bucketing key) for sound bucket pruning")
+    val edgesPath = s"$outDir/edges"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // heal interrupted swaps from any previous run BEFORE reading
+    val edgesDir = new org.apache.hadoop.fs.Path(edgesPath)
+    if (fs.exists(edgesDir)) {
+      fs.listStatus(edgesDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_bak_")) {
+          val live = new org.apache.hadoop.fs.Path(edgesDir, name.stripPrefix("_bak_"))
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+        }
+      }
+    }
+
     val upd = withBucket(updates, numBuckets)
+    val dupKeys = upd
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_c"))
+      .where(col("_c") > 1)
+      .limit(1)
+      .count()
+    require(dupKeys == 0, "updates must be unique on keyCols (MERGE multiple-match)")
     val affected = upd.select(col(BucketCol)).distinct().as[Int].collect().sorted
     if (affected.isEmpty) return 0L
 
-    val edgesPath = s"$outDir/edges"
     val existing = spark.read.parquet(edgesPath)
       .where(col(BucketCol).isin(affected.map(Integer.valueOf): _*))
 
@@ -134,18 +174,16 @@ object Materialize {
       .drop(updateCols.map(c => s"_upd_$c"): _*)
       .select(existing.columns.map(col): _*)
 
-    // staging write, then per-bucket swap (rename is atomic per bucket;
-    // a crash mid-swap is healed by re-running the same upsert)
     val staging = s"$outDir/_staging_upsert"
     merged.write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(staging)
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.foreach { b =>
       val dst = new org.apache.hadoop.fs.Path(s"$edgesPath/$BucketCol=$b")
+      val bak = new org.apache.hadoop.fs.Path(s"$edgesPath/_bak_$BucketCol=$b")
       val src = new org.apache.hadoop.fs.Path(s"$staging/$BucketCol=$b")
       if (fs.exists(src)) {
-        if (fs.exists(dst)) fs.delete(dst, true)
+        if (fs.exists(dst)) fs.rename(dst, bak)
         fs.rename(src, dst)
+        if (fs.exists(bak)) fs.delete(bak, true)
       }
     }
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)

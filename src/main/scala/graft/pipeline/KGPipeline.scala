@@ -40,9 +40,13 @@ object KGPipeline {
     * reference's own in-memory regime): the distributed mapping is ~8
     * tiny jobs whose fixed overhead (~3 s at 32 cores) is pure ceiling
     * loss when |dict| is broadcast-sized anyway. Both paths share the
-    * blocking/scoring functions and are property-tested equal.
+    * blocking/scoring functions and are property-tested equal. 20k is
+    * deliberately conservative — the local path is single-threaded and
+    * its pair space is bounded by buckets x cap^2, so a collision-heavy
+    * 10^5-surface vocabulary could stall a driver; measured cost at
+    * 3.6k surfaces is ~100 ms.
     */
-  val DriverLocalLinkThreshold: Int = 100000
+  val DriverLocalLinkThreshold: Int = 20000
 
   /** surface_id -> canonical id over the full dictionary: LSH blocking,
     * exact scoring, CC, singletons mapped to themselves.

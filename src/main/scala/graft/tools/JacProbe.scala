@@ -42,7 +42,7 @@ object JacProbe {
     t("freq prefix rows")(println("[jp] freq prefix rows=" + pref2.count()))
     val cand2 = pref2.select($"tok", $"id".as("a")).join(pref2.select($"tok", $"id".as("b")), Seq("tok")).where($"a" < $"b")
     t("freq distinct candidates")(println("[jp] freq distinct cand=" + cand2.select($"a",$"b").distinct().count()))
-    t("full jaccardPairsExact(freq=true)")(println("[jp] pairs=" + Dedup.jaccardPairsExact(spark, corpus, "doc_id", "text", 3, 0.6).count()))
+    t("full jaccardPairsExact(freq=true)")(println("[jp] pairs=" + Dedup.jaccardPairsExact(spark, corpus, "doc_id", "text", 3, 0.6, frequencyOrdered = true).count()))
     t("full jaccardPairsExact(freq=false)")(println("[jp] pairs=" + Dedup.jaccardPairsExact(spark, corpus, "doc_id", "text", 3, 0.6, frequencyOrdered = false).count()))
     spark.stop()
   }

@@ -74,6 +74,11 @@ object VizPrep {
   ): DataFrame = {
     val slim = Sequences.downsample(df, sessionCol, orderCols, every, cap)
     def coord(c: String) = round(col(c), 6).cast("decimal(18,6)").cast("string")
+    // JSON-escape property values (backslash and double quote) and fold
+    // NULL to "" — an unescaped quote would emit invalid GeoJSON, and a
+    // NULL inside concat would null the WHOLE feature string
+    def jsonVal(p: String) =
+      coalesce(regexp_replace(col(p).cast("string"), "([\\\\\"])", "\\\\$1"), lit(""))
     val propJson =
       if (props.isEmpty) lit("")
       else
@@ -81,7 +86,7 @@ object VizPrep {
           props.zipWithIndex.map { case (p, i) =>
             concat(
               lit((if (i == 0) "" else ",") + "\"" + p + "\":\""),
-              col(p).cast("string"),
+              jsonVal(p),
               lit("\"")
             )
           }: _*

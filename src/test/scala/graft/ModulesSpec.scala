@@ -140,5 +140,26 @@ class ModulesSpec extends SparkSpec {
     // upsert lineage rows were appended
     val lineage = spark.read.parquet(s"$out/_lineage")
     assert(lineage.count() > 8)
+
+    // duplicate update keys are a MERGE multiple-match error
+    val dupUpdates = updates.union(updates)
+    intercept[IllegalArgumentException] {
+      Materialize.upsertColumns(
+        spark, out, dupUpdates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"), numBuckets = 8)
+    }
+
+    // crash-window heal: simulate a swap interrupted between move-aside
+    // and move-in (live dir missing, only the _bak_ copy exists)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/edges"))
+      .map(_.getPath).find(_.getName.startsWith("part_bucket=")).get
+    val bak = new org.apache.hadoop.fs.Path(live.getParent, "_bak_" + live.getName)
+    fs.rename(live, bak)
+    Materialize.upsertColumns(
+      spark, out, updates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"), numBuckets = 8)
+    assert(readBack().count() == 500, "healed bucket restored before the merge read")
+    assert(readBack().collect().sortBy(_.getAs[Long]("subj")).sameElements(
+      after.sortBy(_.getAs[Long]("subj"))))
   }
 }
