@@ -88,6 +88,61 @@ object BinaryOps {
     }
   }
 
+  /** One sampled video frame (frame payload stubbed like the decoder —
+    * real impl: decoded + re-encoded frame bytes).
+    */
+  final case class FrameRow(media_id: Long, frame_idx: Int, ts_ms: Long, frame: Array[Byte])
+
+  /** Resize plumbing: per-partition batched transform emitting a new
+    * payload + updated metadata. The pixel work is stubbed (a
+    * deterministic byte projection scaled by the area ratio — real
+    * impl: decoded resample); the pipeline mechanics (meta rewrite,
+    * payload replacement, batch shape, memory bound) are real.
+    */
+  def resize(spark: SparkSession, media: Dataset[MediaRow], targetW: Int, targetH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // real impl: val codec = HeavyCodec.init()  (once per partition)
+      it.map { row =>
+        val ratio = (targetW.toLong * targetH).toDouble /
+          math.max(1L, row.meta.width.toLong * row.meta.height)
+        val outLen = math.max(1, (row.payload.length * ratio).toInt)
+        val out = Array.tabulate(outLen) { i =>
+          // deterministic stub "resample": stride through source bytes
+          row.payload(((i.toLong * row.payload.length) / outLen).toInt)
+        }
+        MediaRow(row.media_id, out, row.meta.copy(width = targetW, height = targetH))
+      }
+    }
+  }
+
+  /** Frame-sampling plumbing for video rows: one output row per sampled
+    * timestamp (`everyMs` stride, capped at `maxFrames` per video —
+    * the cap bounds the explode's fan-out, the usual skew control for
+    * hour-long outlier videos). Non-video rows are dropped. Frame
+    * extraction is stubbed deterministically (real impl: keyframe
+    * seek + decode).
+    */
+  def sampleFrames(
+      spark: SparkSession,
+      media: Dataset[MediaRow],
+      everyMs: Long,
+      maxFrames: Int
+  ): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.meta.mediaType.startsWith("video/")).flatMap { row =>
+        val n = math.min(maxFrames.toLong, row.meta.durationMs / math.max(1L, everyMs) + 1).toInt
+        Iterator.tabulate(n) { f =>
+          val ts = f * everyMs
+          // stub frame bytes: deterministic slice keyed by (id, frame)
+          val frame = Array.tabulate(32)(i => Hashing.mix3(row.media_id, f.toLong, i.toLong).toByte)
+          FrameRow(row.media_id, f, ts, frame)
+        }
+      }
+    }
+  }
+
   /** Join features back to metadata and aggregate per media type —
     * the downstream-consumer shape (feature table + typed dims).
     */

@@ -81,6 +81,26 @@ class ModulesSpec extends SparkSpec {
     assert(stats.agg(sum($"n_media")).head().getLong(0) == 40)
   }
 
+  test("multimodal: resize rewrites payload+meta; frame sampling strides and caps") {
+    val media = BinaryOps.syntheticMedia(spark, 30, 512) // 64x64, 1000ms each
+    val resized = BinaryOps.resize(spark, media, 32, 32).collect()
+    assert(resized.length == 30)
+    assert(resized.forall(r => r.meta.width == 32 && r.meta.height == 32))
+    assert(resized.forall(r => r.payload.length == 128)) // area ratio 1/4 of 512
+    // determinism under different partitioning
+    val again = BinaryOps.resize(spark, media.repartition(5), 32, 32)
+      .collect().sortBy(_.media_id).map(_.payload.toSeq)
+    assert(resized.sortBy(_.media_id).map(_.payload.toSeq).sameElements(again))
+
+    val frames = BinaryOps.sampleFrames(spark, media, everyMs = 300L, maxFrames = 3).collect()
+    val videos = media.collect().count(_.meta.mediaType.startsWith("video/"))
+    assert(videos > 0)
+    // 1000ms / 300ms stride -> 4 frames uncapped, capped at 3
+    assert(frames.length == videos * 3)
+    assert(frames.forall(f => f.ts_ms == f.frame_idx * 300L && f.frame.length == 32))
+    assert(frames.map(_.media_id).distinct.length == videos)
+  }
+
   test("materialize: lineage resume skips completed buckets, counts preserved") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_mat").toString
