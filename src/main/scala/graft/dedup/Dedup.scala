@@ -173,14 +173,22 @@ object Dedup {
         // conservative ceil (the -1e-9 guards float noise on exact
         // integers; a LONGER prefix is always still recall-complete)
         val p = sh.length - math.ceil(threshold * sh.length - 1e-9).toInt + 1
-        sh.iterator.take(math.max(p, 1)).map(tok => (tok, id))
+        sh.iterator.take(math.max(p, 1)).map(tok => (tok, id, sh.length))
       }
-      .toDF("tok", "id")
+      .toDF("tok", "id", "len")
 
+    // AllPairs length filter: J >= t implies I/U >= t and
+    // I <= min(|A|,|B|), U >= max(|A|,|B|) -> min/max >= t. One int per
+    // prefix row buys a recall-free candidate cut before the wide
+    // shingle fetch.
     val candidates = prefixes
-      .select($"tok", $"id".as("id_a"))
-      .join(prefixes.select($"tok", $"id".as("id_b")), Seq("tok"))
-      .where($"id_a" < $"id_b")
+      .select($"tok", $"id".as("id_a"), $"len".as("len_a"))
+      .join(prefixes.select($"tok", $"id".as("id_b"), $"len".as("len_b")), Seq("tok"))
+      .where(
+        $"id_a" < $"id_b" &&
+          $"len_a" * lit(threshold) <= $"len_b" &&
+          $"len_b" * lit(threshold) <= $"len_a"
+      )
       .select($"id_a", $"id_b")
       .distinct()
 
