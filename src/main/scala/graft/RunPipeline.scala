@@ -46,8 +46,12 @@ object RunPipeline {
     case "--turns" :: v :: rest => parse(rest, acc.copy(turns = Some(v)))
     case "--dict" :: v :: rest => parse(rest, acc.copy(dict = Some(v)))
     case "--synth" :: v :: rest =>
-      val Array(c, e) = v.split(":", 2)
-      parse(rest, acc.copy(synth = Some((c.toInt, e.toInt))))
+      v.split(":", 2) match {
+        case Array(c, e) if c.forall(_.isDigit) && e.forall(_.isDigit) && c.nonEmpty && e.nonEmpty =>
+          parse(rest, acc.copy(synth = Some((c.toInt, e.toInt))))
+        case _ =>
+          throw new IllegalArgumentException(s"--synth expects <numConvs>:<numEntities>, got '$v'")
+      }
     case "--out" :: v :: rest => parse(rest, acc.copy(out = v))
     case "--buckets" :: v :: rest => parse(rest, acc.copy(buckets = v.toInt))
     case Nil => acc

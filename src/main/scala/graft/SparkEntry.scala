@@ -56,10 +56,14 @@ object SparkEntry {
   // keyed by (applicationId, dir): cached DataFrames are bound to the
   // SparkContext that created them — a dir-only key breaks (or silently
   // misbehaves) when a later SparkSession in the same JVM asks for the
-  // same dir. A new context gets a fresh pipeline run.
+  // same dir. Entries of OTHER (stopped) contexts are pruned on each
+  // lookup, so a JVM that churns sessions doesn't pin dead object
+  // graphs forever.
   private val kgCache = scala.collection.concurrent.TrieMap.empty[(String, String), KGPipeline.Result]
-  private def kgResult(s: SparkSession, dir: String): KGPipeline.Result =
-    kgCache.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+  private def kgResult(s: SparkSession, dir: String): KGPipeline.Result = {
+    val app = s.sparkContext.applicationId
+    kgCache.filterInPlace { case ((a, _), _) => a == app }
+    kgCache.getOrElseUpdate((app, dir), {
       val cfg = genConfigFor(dir)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
       val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
@@ -68,6 +72,7 @@ object SparkEntry {
       // intermediates; mirrors reading back the written tables
       KGPipeline.Result(r.vertices.cache(), r.edges.cache(), r.mapping)
     })
+  }
 
   /** Materialize the sf-dir KG pipeline (the shared input of the kg_*
     * queries) and return (vertices, edges) counts. Bench calls this
@@ -101,6 +106,24 @@ object SparkEntry {
       .where(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 100000).as("doc_id"), upper(col("text")).as("text"))
     d.union(caseCopy)
+  }
+
+  /** documents unioned with deterministic CLIPPED copies (drop the last
+    * 3 words of every 4th doc -> high-but-not-1.0 Jaccard near-dups).
+    * One definition feeds q_dedup_minhash / q_jaccard_pairs /
+    * q_neardup_survivors and their DuckDB oracle mirrors — keep the
+    * expression and the SQL in lockstep.
+    */
+  private[graft] def docsWithClips(s: SparkSession, dir: String): DataFrame = {
+    val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
+    val clipped = d
+      .where(col("doc_id") % 4 === 0)
+      .select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
+          .as("text")
+      )
+    d.union(clipped)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,50 +285,22 @@ object SparkEntry {
 
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
     //      against the exact-Jaccard oracle in DedupSpec)
-    "q_dedup_minhash" -> ((s, dir) => {
-      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      val clipped = d
-        .where(col("doc_id") % 4 === 0)
-        .select(
-          (col("doc_id") + 200000).as("doc_id"),
-          // drop the last 3 words -> high-but-not-1.0 Jaccard
-          concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
-            .as("text")
-        )
-      Dedup.minhashNearDupPairs(s, d.union(clipped), "doc_id", "text", 3, 0.6)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    }),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ---- dedup: EXACT Jaccard similarity join via prefix filtering
     //      (recall-complete — hard DuckDB oracle on the same corpus the
     //      LSH variant blocks approximately)
-    "q_jaccard_pairs" -> ((s, dir) => {
-      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      val clipped = d
-        .where(col("doc_id") % 4 === 0)
-        .select(
-          (col("doc_id") + 200000).as("doc_id"),
-          concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
-            .as("text")
-        )
-      Dedup.jaccardPairsExact(s, d.union(clipped), "doc_id", "text", 3, 0.6)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-    }),
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsExact(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ---- dedup: survivors of the exact near-dup join under the
     //      pairwise smaller-id-wins policy (composition oracle)
-    "q_neardup_survivors" -> ((s, dir) => {
-      val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      val clipped = d
-        .where(col("doc_id") % 4 === 0)
-        .select(
-          (col("doc_id") + 200000).as("doc_id"),
-          concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
-            .as("text")
-        )
-      Dedup.nearDupSurvivors(s, d.union(clipped), "doc_id", "text", 3, 0.6)
-        .select(col("doc_id"))
-    }),
+    "q_neardup_survivors" -> ((s, dir) =>
+      Dedup.nearDupSurvivors(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("doc_id"))),
 
     // ---- dedup: SimHash near-dup pairs (rows-only; spec-verified)
     "q_dedup_simhash" -> ((s, dir) =>
@@ -487,26 +482,43 @@ object SparkEntry {
           xxhash64(concat(lit("c:"), floor(col("value") / 5.0).cast("long").cast("string")))
         ).as("tokens")
       )
-      val refU = ev.agg(min(col("user_id"))).head().getLong(0)
-      val patTurns = toks
-        .where(col("user_id") === refU)
-        .sort(col("ts"), col("event_id"))
-        .limit(8)
-        .select(col("tokens"))
-        .collect()
-        .map(_.getSeq[Long](0).toArray)
-      val pattern = graft.link.WindowMatch.WindowPattern(0L, patTurns)
-      graft.link.WindowMatch
-        .bestWindowPerSession(
-          s,
-          toks.where(col("user_id") =!= refU),
-          "user_id",
-          Seq("ts", "event_id"),
-          "tokens",
-          Seq(pattern),
-          tol = 0.9
+      // reference user = smallest user WITH >= 8 events, so the pattern
+      // is always exactly 8 turns (the oracle hardcodes w=8; a shorter
+      // user would silently shrink the Spark-side pattern)
+      val refRow = ev
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 8)
+        .agg(min(col("user_id")))
+        .head()
+      if (refRow.isNullAt(0)) {
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "user_id long, start_idx int, end_idx int, score double")
         )
-        .select(col("conv_id").cast("long").as("user_id"), col("start_idx"), col("end_idx"), col("score"))
+      } else {
+        val refU = refRow.getLong(0)
+        val patTurns = toks
+          .where(col("user_id") === refU)
+          .sort(col("ts"), col("event_id"))
+          .limit(8)
+          .select(col("tokens"))
+          .collect()
+          .map(_.getSeq[Long](0).toArray)
+        val pattern = graft.link.WindowMatch.WindowPattern(0L, patTurns)
+        graft.link.WindowMatch
+          .bestWindowPerSession(
+            s,
+            toks.where(col("user_id") =!= refU),
+            "user_id",
+            Seq("ts", "event_id"),
+            "tokens",
+            Seq(pattern),
+            tol = 0.9
+          )
+          .select(col("conv_id").cast("long").as("user_id"), col("start_idx"), col("end_idx"), col("score"))
+      }
     }),
 
     // ---- S7/S8/G4 under the driver check: write a derived graph via
@@ -884,7 +896,8 @@ object SparkEntry {
           |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,
           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
           |  FROM events),
-          |refu AS (SELECT min(user_id) AS u FROM events),
+          |refu AS (SELECT min(user_id) AS u FROM (
+          |  SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 8)),
           |pat AS (SELECT idx AS pidx, tkt AS ptkt, tkc AS ptkc FROM seq, refu WHERE user_id = u AND idx <= 8),
           |aligned AS (
           |  SELECT s.user_id, s.idx - p.pidx + 1 AS start,

@@ -35,9 +35,11 @@ object Ann {
   }
 
   /** Deterministic random hyperplanes: component j of plane p is a
-    * unit-hash-derived value in [-1, 1).
+    * unit-hash-derived value in [-1, 1). Shared with
+    * [[graft.dedup.Dedup.cosinePairsApprox]] so both SRP users bucket
+    * identically.
     */
-  private def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
+  private[graft] def hyperplane(seed: Long, p: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(j => Hashing.toUnit(Hashing.mix3(seed, p.toLong, j.toLong)) * 2 - 1)
 
   /** Sign-random-projection bucket id of a vector. */
@@ -79,7 +81,9 @@ object Ann {
     import spark.implicits._
     val d =
       if (dim > 0) dim
-      else corpus.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
+      else
+        corpus.select(col(vecCol)).limit(1).as[Seq[Float]].collect()
+          .headOption.map(_.length).getOrElse(1) // empty corpus -> empty result
     val pls = Array.tabulate(numTables, numPlanes)((t, p) =>
       hyperplane(seed, t * numPlanes + p, d)
     )

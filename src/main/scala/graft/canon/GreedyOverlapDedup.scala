@@ -39,15 +39,11 @@ object GreedyOverlapDedup {
     */
   def greedy(cands: Seq[Interval], frac: Double): Seq[Interval] = {
     val sorted = cands.sortBy(c => (-c.weight, c.start, c.id))
-    val accepted = Seq.newBuilder[Interval]
-    var acc = List.empty[Interval]
+    val accepted = collection.mutable.ArrayBuffer.empty[Interval]
     for (c <- sorted) {
-      if (!acc.exists(a => overlapFrac(c, a) >= frac)) {
-        acc ::= c
-        accepted += c
-      }
+      if (!accepted.exists(a => overlapFrac(c, a) >= frac)) accepted += c
     }
-    accepted.result()
+    accepted.toSeq
   }
 
   /** Distributed per-group replay: input rows (group, id, start, end,

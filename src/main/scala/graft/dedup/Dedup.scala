@@ -388,7 +388,11 @@ object Dedup {
           var k = 0
           val len = math.min(va.length, vb.length)
           while (k < len) { dot += va(k).toDouble * vb(k).toDouble; k += 1 }
-          val c = dot / (nx(i) * ny(j))
+          // zero-norm vectors have undefined cosine — define it as 0
+          // (never emitted at positive thresholds). BigDecimal.valueOf
+          // would otherwise THROW on the 0/0 NaN.
+          val denom = nx(i) * ny(j)
+          val c = if (denom == 0.0) 0.0 else dot / denom
           val r = java.math.BigDecimal
             .valueOf(c)
             .setScale(6, java.math.RoundingMode.HALF_UP)
@@ -404,15 +408,20 @@ object Dedup {
 
   /** Brute-force crossJoin cosine pairs — the small-scale oracle for
     * `cosinePairs` (O(n^2) rows through the join; test scale only).
+    * Zero-norm vectors are excluded up front to match the tiled path's
+    * cosine-undefined-means-0 convention (Spark would otherwise treat
+    * the 0/0 NaN as larger than any threshold).
     */
   def cosinePairsBrute(df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
     import graft.functions.VectorExpressions._
     val a = df
       .select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
       .withColumn("n_a", vec_norm(col("v_a")))
+      .where(col("n_a") > 0)
     val b = df
       .select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
       .withColumn("n_b", vec_norm(col("v_b")))
+      .where(col("n_b") > 0)
     a.crossJoin(b)
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", round(cosineWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")), 6))
@@ -446,9 +455,12 @@ object Dedup {
     import graft.ann.Ann
     val d =
       if (dim > 0) dim
-      else df.select(col(vecCol)).limit(1).as[Seq[Float]].head().length
+      else
+        df.select(col(vecCol)).limit(1).as[Seq[Float]].collect()
+          .headOption.map(_.length).getOrElse(1) // empty input -> empty result
+    // same plane formula as Ann's SRP tables (shared helper)
     val planes = Array.tabulate(numTables, numPlanes)((t, p) =>
-      Array.tabulate(d)(j => Hashing.toUnit(Hashing.mix3(seed, (t * numPlanes + p).toLong, j.toLong)) * 2 - 1)
+      Ann.hyperplane(seed, t * numPlanes + p, d)
     )
     val bc = spark.sparkContext.broadcast(planes)
     val src = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]

@@ -28,6 +28,37 @@ object Materialize {
     df.withColumn(BucketCol, pmod(xxhash64(col("conv_id")), lit(numBuckets)).cast("int"))
 
   private def lineagePath(outDir: String) = s"$outDir/_lineage"
+  private def metaPath(outDir: String) = s"$outDir/_table_meta.json"
+
+  /** Persist the layout's bucket count at first write; consumers (the
+    * upsert) must bucket with the SAME count or their partition pruning
+    * silently reads the wrong dirs.
+    */
+  private def writeTableMeta(fs: org.apache.hadoop.fs.FileSystem, outDir: String, numBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    if (!fs.exists(p)) {
+      val os = fs.create(p, true)
+      os.write(("{\"num_buckets\":" + numBuckets + "}").getBytes("UTF-8"))
+      os.close()
+    }
+  }
+
+  /** Bucket count the table was written with (None before first write). */
+  def tableNumBuckets(spark: SparkSession, outDir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      in.close()
+      val txt = buf.toString("UTF-8")
+      raw""""num_buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+    }
+  }
 
   /** Buckets already written successfully (empty DF on first run). */
   def completedBuckets(spark: SparkSession, outDir: String): DataFrame = {
@@ -53,38 +84,50 @@ object Materialize {
   ): Long = {
     import spark.implicits._
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val fsMeta = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tableNumBuckets(spark, outDir).foreach(n =>
+      require(n == numBuckets, s"table at $outDir was written with num_buckets=$n, got $numBuckets"))
+    writeTableMeta(fsMeta, outDir, numBuckets)
 
     val bucketed = withBucket(edges, numBuckets)
     val done = completedBuckets(spark, outDir)
-    val pending = bucketed.join(
-      done.withColumnRenamed("bucket", BucketCol),
-      Seq(BucketCol),
-      "left_anti"
-    )
-
-    // co-locate each bucket into one task before the partitioned write:
-    // without this every task writes to every bucket dir (tasks x
-    // buckets small files — the classic partitionBy file explosion)
-    pending
-      .repartition(numBuckets, col(BucketCol))
-      .write
-      .mode(SaveMode.Overwrite)
-      .partitionBy(BucketCol)
-      .parquet(s"$outDir/edges")
-
-    // lineage + counter metrics per partition (north_rule)
-    val counters = pending
-      .groupBy(col(BucketCol).as("bucket"))
-      .agg(
-        count(lit(1)).as("rows"),
-        countDistinct($"conv_id").as("convs")
+    // persist for the duration of the write: the plan is consumed twice
+    // (data write + lineage counters) and its upstream is the whole KG
+    // pipeline — recomputing it doubled the flagship job's cost
+    val pending = bucketed
+      .join(
+        done.withColumnRenamed("bucket", BucketCol),
+        Seq(BucketCol),
+        "left_anti"
       )
-      .withColumn("written_at", current_timestamp())
-    val n = counters.count()
-    if (n > 0) {
-      counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
-    }
-    n
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // co-locate each bucket into one task before the partitioned
+      // write: without this every task writes to every bucket dir
+      // (tasks x buckets small files — the classic partitionBy file
+      // explosion)
+      pending
+        .repartition(numBuckets, col(BucketCol))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+        .parquet(s"$outDir/edges")
+
+      // lineage + counter metrics per partition (north_rule)
+      val counters = pending
+        .groupBy(col(BucketCol).as("bucket"))
+        .agg(
+          count(lit(1)).as("rows"),
+          countDistinct($"conv_id").as("convs")
+        )
+        .withColumn("written_at", current_timestamp())
+      val n = counters.count()
+      if (n > 0) {
+        counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
+      }
+      n
+    } finally pending.unpersist()
   }
 
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
@@ -134,6 +177,10 @@ object Materialize {
     import spark.implicits._
     require(keyCols.contains("conv_id"),
       "keyCols must include conv_id (the bucketing key) for sound bucket pruning")
+    // the table's RECORDED bucket count wins over the parameter — an
+    // upsert bucketing with a different modulus would prune the wrong
+    // partitions and silently no-op the updates
+    val buckets = tableNumBuckets(spark, outDir).getOrElse(numBuckets)
     val edgesPath = s"$outDir/edges"
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -151,7 +198,7 @@ object Materialize {
       }
     }
 
-    val upd = withBucket(updates, numBuckets)
+    val upd = withBucket(updates, buckets)
     val dupKeys = upd
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_c"))

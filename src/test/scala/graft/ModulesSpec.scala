@@ -151,11 +151,15 @@ class ModulesSpec extends SparkSpec {
       assert(r.getAs[Long]("subj") == i.toLong, "non-updated columns untouched")
     }
 
-    // idempotent re-run: same updates -> identical table
+    // idempotent re-run: same updates -> identical table. Deliberately
+    // passes the WRONG numBuckets default — the table's recorded bucket
+    // count (_table_meta.json) must override it, otherwise pruning
+    // reads the wrong partitions and silently no-ops
     Materialize.upsertColumns(
-      spark, out, updates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"), numBuckets = 8)
+      spark, out, updates, keyCols = Seq("conv_id", "turn_idx"), updateCols = Seq("pred"))
     assert(readBack().collect().sortBy(_.getAs[Long]("subj")).sameElements(
       after.sortBy(_.getAs[Long]("subj"))))
+    assert(Materialize.tableNumBuckets(spark, out).contains(8))
 
     // upsert lineage rows were appended
     val lineage = spark.read.parquet(s"$out/_lineage")
