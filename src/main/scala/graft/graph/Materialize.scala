@@ -133,6 +133,55 @@ object Materialize {
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vertices")
 
+  /** Streaming-sink append with per-BATCH idempotence — the foreachBatch
+    * counterpart of [[writeEdges]]. The batch ledger (`_batches`) keys
+    * on batch_id: a replayed micro-batch (restart from checkpoint
+    * re-offers the last uncommitted batch) is skipped wholesale, so the
+    * sink is exactly-once per batch. Rows land under
+    * `edges/batch_id=N/part_bucket=B/` — batch subdirs keep replays
+    * from colliding with committed data, and the bucket layer keeps the
+    * conversation co-location of the batch layout. The ledger row is
+    * written AFTER the data: a crash between the two replays the batch,
+    * whose directory is then overwritten in place (same path, same
+    * data).
+    *
+    * @return rows written (0 if the batch was already committed)
+    */
+  def appendEdgesBatch(
+      spark: SparkSession,
+      edges: DataFrame,
+      outDir: String,
+      batchId: Long,
+      numBuckets: Int = 32
+  ): Long = {
+    import spark.implicits._
+    val ledger = s"$outDir/_batches"
+    val lp = new org.apache.hadoop.fs.Path(ledger)
+    val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed =
+      if (fs.exists(lp))
+        spark.read.parquet(ledger).where(col("batch_id") === batchId).limit(1).count() > 0
+      else false
+    if (committed) return 0L
+
+    val bucketed = withBucket(edges, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      bucketed
+        .repartition(numBuckets, col(BucketCol))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy(BucketCol)
+        .parquet(s"$outDir/edges/batch_id=$batchId")
+      val n = bucketed.count()
+      Seq((batchId, n))
+        .toDF("batch_id", "rows")
+        .withColumn("written_at", current_timestamp())
+        .write.mode(SaveMode.Append).parquet(ledger)
+      n
+    } finally bucketed.unpersist()
+  }
+
   /** S9 column-level upsert — the reference's weather-backfill MERGE
     * (/root/reference/examples/updateWeatherNeo4j.jl:117-138) over the
     * materialized edge layout: update selected columns on existing rows

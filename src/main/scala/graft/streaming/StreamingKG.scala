@@ -89,4 +89,30 @@ object StreamingKG {
       e.triples.map(t => RawTriple(t.subj, t.pred, t.obj, e.conv_id, e.turn_idx))
     }
   }
+
+  /** End-to-end streaming edge sink: extracted triples land in the
+    * batch-idempotent edge layout via foreachBatch +
+    * [[graft.graph.Materialize.appendEdgesBatch]] — a micro-batch
+    * replayed after a checkpoint restart is skipped by the batch
+    * ledger, so the sink is exactly-once per batch. (Canonicalization
+    * runs downstream in batch: the CC mapping is a corpus-level
+    * fixpoint, not a per-batch operation.)
+    */
+  def streamEdgesToTable(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      bcSurfaces: Broadcast[Array[SurfaceForm]],
+      outDir: String,
+      checkpointDir: String,
+      numBuckets: Int = 32
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    streamingTriples(spark, turns, bcSurfaces).toDF()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        graft.graph.Materialize.appendEdgesBatch(spark, batch, outDir, batchId, numBuckets)
+        ()
+      }
+      .start()
 }

@@ -61,6 +61,46 @@ class StreamingSpec extends SparkSpec {
     assert(got.sorted == List(("a", 0, 1), ("a", 1, 2)))
   }
 
+  test("streaming edge sink: batch-idempotent appends, replay skipped, restart-safe") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_sink").toString
+    val edges = Seq(
+      (1L, "p", 2L, "c1", 0),
+      (3L, "p", 4L, "c2", 1)
+    ).toDF("subj", "pred", "obj", "conv_id", "turn_idx")
+
+    val n0 = graft.graph.Materialize.appendEdgesBatch(spark, edges, out, batchId = 0L, numBuckets = 4)
+    assert(n0 == 2)
+    // replay of a committed batch (checkpoint restart) is a no-op
+    assert(graft.graph.Materialize.appendEdgesBatch(spark, edges, out, 0L, 4) == 0L)
+    // next batch appends
+    val more = Seq((5L, "p", 6L, "c3", 0)).toDF("subj", "pred", "obj", "conv_id", "turn_idx")
+    assert(graft.graph.Materialize.appendEdgesBatch(spark, more, out, 1L, 4) == 1L)
+    val back = spark.read.parquet(s"$out/edges")
+    assert(back.count() == 3)
+    assert(back.select("subj").as[Long].collect().sorted.sameElements(Array(1L, 3L, 5L)))
+
+    // end-to-end through the streaming query (one micro-batch)
+    implicit val sqlCtx = spark.sqlContext
+    val cfg = graft.synth.GenConfig(numConvs = 5, numEntities = 15)
+    val dict = graft.kg.Dictionary.build(cfg.seed, cfg.numEntities)
+    val bc = spark.sparkContext.broadcast(dict.toArray)
+    val turns = graft.synth.TranscriptGen.transcriptsLocal(cfg)
+    val input = MemoryStream[Turn]
+    val out2 = java.nio.file.Files.createTempDirectory("graft_stream_e2e").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val q = StreamingKG.streamEdgesToTable(spark, input.toDS(), bc, out2, ckpt, numBuckets = 4)
+    input.addData(turns)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$out2/edges").count()
+    val batchTriples = graft.extract.Mentions
+      .extract(spark, spark.createDataset(turns), bc)
+      .flatMap(_.triples)
+      .count()
+    assert(streamed == batchTriples && streamed > 0)
+  }
+
   test("streaming triples match the batch extractor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
