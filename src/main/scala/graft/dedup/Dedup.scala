@@ -173,21 +173,32 @@ object Dedup {
         // conservative ceil (the -1e-9 guards float noise on exact
         // integers; a LONGER prefix is always still recall-complete)
         val p = sh.length - math.ceil(threshold * sh.length - 1e-9).toInt + 1
-        sh.iterator.take(math.max(p, 1)).map(tok => (tok, id, sh.length))
+        sh.iterator.take(math.max(p, 1)).zipWithIndex.map { case (tok, pos) => (tok, id, sh.length, pos) }
       }
-      .toDF("tok", "id", "len")
+      .toDF("tok", "id", "len", "pos")
 
-    // AllPairs length filter: J >= t implies I/U >= t and
-    // I <= min(|A|,|B|), U >= max(|A|,|B|) -> min/max >= t. One int per
-    // prefix row buys a recall-free candidate cut before the wide
-    // shingle fetch.
+    // Two recall-free pruning filters on the narrow candidate rows
+    // before the wide shingle fetch:
+    //  - AllPairs length filter: J >= t implies min(|A|,|B|)/max >= t
+    //  - PPJoin positional filter (Xiao et al., WWW'08): at the FIRST
+    //    shared token (positions i, j in the common order) the overlap
+    //    is at most 1 + min(|A|-1-i, |B|-1-j), and J >= t requires
+    //    overlap >= t/(1+t) * (|A|+|B|). Qualifying pairs always pass
+    //    at their first meeting (kept if ANY meeting passes).
+    val alphaNeeded = lit(threshold / (1.0 + threshold)) * ($"len_a" + $"len_b")
+    val ubound = lit(1) +
+      least($"len_a" - lit(1) - $"pos_a", $"len_b" - lit(1) - $"pos_b")
     val candidates = prefixes
-      .select($"tok", $"id".as("id_a"), $"len".as("len_a"))
-      .join(prefixes.select($"tok", $"id".as("id_b"), $"len".as("len_b")), Seq("tok"))
+      .select($"tok", $"id".as("id_a"), $"len".as("len_a"), $"pos".as("pos_a"))
+      .join(
+        prefixes.select($"tok", $"id".as("id_b"), $"len".as("len_b"), $"pos".as("pos_b")),
+        Seq("tok")
+      )
       .where(
         $"id_a" < $"id_b" &&
           $"len_a" * lit(threshold) <= $"len_b" &&
-          $"len_b" * lit(threshold) <= $"len_a"
+          $"len_b" * lit(threshold) <= $"len_a" &&
+          ubound + lit(1e-9) >= alphaNeeded
       )
       .select($"id_a", $"id_b")
       .distinct()
