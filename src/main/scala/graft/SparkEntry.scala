@@ -143,6 +143,12 @@ object SparkEntry {
     "q_lead_edges" -> ((s, dir) =>
       Sequences.leadEdges(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_id")),
 
+    // ---- W1 under mega-session skew: chunked lead-edge variant (same
+    //      semantics, no task sees more than chunkSize rows per session;
+    //      small chunk exercises many boundary stitches)
+    "q_lead_edges_chunked" -> ((s, dir) =>
+      Sequences.leadEdgesChunked(read(s, dir, "events"), "user_id", "event_id", "event_id", chunkSize = 256)),
+
     // ---- A11: running sum along the session
     "q_cumulative" -> ((s, dir) =>
       Sequences
@@ -616,6 +622,11 @@ object SparkEntry {
         """SELECT user_id, src, dst FROM (
           |  SELECT user_id, event_id AS src,
           |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
+      "q_lead_edges_chunked" ->
+        """SELECT user_id, src, dst FROM (
+          |  SELECT user_id, event_id AS src,
+          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS dst
           |  FROM events) WHERE dst IS NOT NULL""".stripMargin,
       "q_cumulative" ->
         """SELECT event_id, user_id,

@@ -25,6 +25,72 @@ object Sequences {
     ).where(col("dst").isNotNull)
   }
 
+  /** W1 under MEGA-SESSION skew (north_rule: "mega-conversations
+    * handled explicitly"): `leadEdges` puts a whole session in one
+    * task — fine at the contract's bounded conversation sizes, but a
+    * pathological 10^9-turn conversation would stall one executor.
+    * This variant chunks the numeric order column into fixed ranges,
+    * windows within (session, chunk), and stitches chunk boundaries
+    * with one extra narrow self-join of per-chunk FIRST rows onto
+    * per-chunk LAST rows — no task ever sees more than `chunkSize`
+    * rows of one session. Property-tested equal to `leadEdges`.
+    *
+    * Requires a numeric `orderCol` (turn_idx-style). Order ties are the
+    * caller's contract, exactly as in `leadEdges`.
+    */
+  def leadEdgesChunked(
+      df: DataFrame,
+      sessionCol: String,
+      orderCol: String,
+      idCol: String,
+      chunkSize: Int = 1 << 20
+  ): DataFrame = {
+    val chunked = df.select(
+      col(sessionCol),
+      col(orderCol),
+      col(idCol),
+      floor(col(orderCol) / chunkSize).cast("long").as("_chunk")
+    )
+    val w = Window.partitionBy(col(sessionCol), col("_chunk")).orderBy(col(orderCol))
+    val within = chunked
+      .select(
+        col(sessionCol),
+        col(idCol).as("src"),
+        lead(col(idCol), 1).over(w).as("dst")
+      )
+      .where(col("dst").isNotNull)
+
+    // boundary stitch: each chunk's LAST row pairs with the NEXT
+    // non-empty chunk's FIRST row. Both sides are one row per
+    // (session, chunk) — narrow aggregation, tiny join.
+    val wAsc = Window.partitionBy(col(sessionCol), col("_chunk")).orderBy(col(orderCol).asc)
+    val wDesc = Window.partitionBy(col(sessionCol), col("_chunk")).orderBy(col(orderCol).desc)
+    val lasts = chunked
+      .withColumn("_rn", row_number().over(wDesc))
+      .where(col("_rn") === 1)
+      .select(col(sessionCol), col("_chunk"), col(idCol).as("src"), col(orderCol).as("_ord"))
+    val firsts = chunked
+      .withColumn("_rn", row_number().over(wAsc))
+      .where(col("_rn") === 1)
+      .select(col(sessionCol).as("_s2"), col("_chunk").as("_c2"), col(idCol).as("dst"))
+    // successive non-empty chunks may skip ids (sparse order values):
+    // rank chunks per session and join rank -> rank+1
+    val wChunks = Window.partitionBy(col(sessionCol)).orderBy(col("_chunk"))
+    val lastRanked = lasts.withColumn("_k", row_number().over(wChunks))
+    val firstRanked = firsts.withColumn(
+      "_k2",
+      row_number().over(Window.partitionBy(col("_s2")).orderBy(col("_c2")))
+    )
+    val stitched = lastRanked
+      .join(
+        firstRanked,
+        col(sessionCol) === col("_s2") && col("_k") + 1 === col("_k2")
+      )
+      .select(col(sessionCol), col("src"), col("dst"))
+
+    within.union(stitched)
+  }
+
   /** A11: running sum along the session
     * (/root/reference/src/Utils.jl:279-288).
     */

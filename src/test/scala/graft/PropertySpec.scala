@@ -22,6 +22,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("leadEdgesChunked == leadEdges for any chunk size (mega-session skew variant)") {
+    import spark.implicits._
+    val rnd = new Random(31)
+    // sparse, non-contiguous order values; several sessions; order
+    // values straddling chunk boundaries
+    val rows = (0 until 12).flatMap { s =>
+      val n = 1 + rnd.nextInt(30)
+      var ord = 0
+      (0 until n).map { i =>
+        ord += 1 + rnd.nextInt(5)
+        (s"s$s", ord, s * 1000 + i)
+      }
+    }
+    val df = rows.toDF("sess", "ord", "id")
+    val want = Sequences
+      .leadEdges(df, "sess", Seq("ord"), "id")
+      .select($"sess", $"src", $"dst")
+      .as[(String, Int, Int)].collect().toSet
+    for (chunk <- Seq(1, 3, 8, 1 << 20)) {
+      val got = Sequences
+        .leadEdgesChunked(df, "sess", "ord", "id", chunk)
+        .as[(String, Int, Int)].collect().toSet
+      assert(got == want, s"chunkSize=$chunk: missing=${(want diff got).take(3)} extra=${(got diff want).take(3)}")
+    }
+  }
+
   test("tokenSim: symmetric, bounded, reflexive") {
     val rnd = new Random(42)
     val words = Vector("alpha", "bravo", "charlie", "delta", "the", "inc", "xylophone")
