@@ -155,6 +155,12 @@ object SparkEntry {
         .cumulative(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "value", "running_value")
         .select(col("event_id"), col("user_id"), round(col("running_value"), 6).as("running_value"))),
 
+    // ---- A11 under mega-session skew: two-phase chunked prefix sum
+    "q_cumulative_chunked" -> ((s, dir) =>
+      Sequences
+        .cumulativeChunked(read(s, dir, "events"), "user_id", "event_id", "value", "running_value", chunkSize = 128)
+        .select(col("event_id"), col("user_id"), round(col("running_value"), 6).as("running_value"))),
+
     // ---- W4+W5: transitions with gap filter and deltas
     "q_transitions" -> ((s, dir) =>
       Sequences
@@ -631,6 +637,11 @@ object SparkEntry {
       "q_cumulative" ->
         """SELECT event_id, user_id,
           |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+          |FROM events""".stripMargin,
+      "q_cumulative_chunked" ->
+        """SELECT event_id, user_id,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
           |FROM events""".stripMargin,
       "q_transitions" ->

@@ -102,6 +102,45 @@ object Sequences {
     df.withColumn(as, sum(col(valueCol)).over(w))
   }
 
+  /** A11 under MEGA-SESSION skew: the classic two-phase distributed
+    * scan. Phase 1 computes within-chunk running sums (window over
+    * (session, chunk) — bounded tasks); phase 2 computes each chunk's
+    * EXCLUSIVE offset as a running sum over the per-chunk totals (one
+    * tiny row per chunk) and adds it back. Property-tested equal to
+    * `cumulative` modulo float association (hence round results).
+    */
+  def cumulativeChunked(
+      df: DataFrame,
+      sessionCol: String,
+      orderCol: String,
+      valueCol: String,
+      as: String,
+      chunkSize: Int = 1 << 20
+  ): DataFrame = {
+    val chunked = df.withColumn("_chunk", floor(col(orderCol) / chunkSize).cast("long"))
+    val wIn = Window
+      .partitionBy(col(sessionCol), col("_chunk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked.withColumn("_within", sum(col(valueCol)).over(wIn))
+
+    val totals = chunked
+      .groupBy(col(sessionCol).as("_s2"), col("_chunk").as("_c2"))
+      .agg(sum(col(valueCol)).as("_total"))
+    val wOff = Window
+      .partitionBy(col("_s2"))
+      .orderBy(col("_c2"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0.0)))
+      .select(col("_s2"), col("_c2"), col("_offset"))
+
+    within
+      .join(offsets, col(sessionCol) === col("_s2") && col("_chunk") === col("_c2"))
+      .withColumn(as, col("_within") + col("_offset"))
+      .drop("_chunk", "_within", "_s2", "_c2", "_offset")
+  }
+
   /** W4+W5: consecutive-pair transitions with gap filters and delta
     * features (/root/reference/src/DataPreprocessing.jl:330-397).
     */

@@ -48,6 +48,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("cumulativeChunked == cumulative for any chunk size (two-phase scan)") {
+    import spark.implicits._
+    val rnd = new Random(43)
+    val rows = (0 until 10).flatMap { s =>
+      var ord = 0
+      (0 until 1 + rnd.nextInt(40)).map { _ =>
+        ord += 1 + rnd.nextInt(4)
+        (s"s$s", ord, rnd.nextDouble() * 100)
+      }
+    }
+    val df = rows.toDF("sess", "ord", "v")
+    def norm(d: org.apache.spark.sql.DataFrame) = d
+      .select($"sess", $"ord", org.apache.spark.sql.functions.round($"run", 6).as("run"))
+      .as[(String, Int, Double)].collect().toSet
+    val want = norm(Sequences.cumulative(df, "sess", Seq("ord"), "v", "run"))
+    for (chunk <- Seq(1, 5, 16, 1 << 20)) {
+      val got = norm(Sequences.cumulativeChunked(df, "sess", "ord", "v", "run", chunk))
+      assert(got == want, s"chunkSize=$chunk")
+    }
+  }
+
   test("tokenSim: symmetric, bounded, reflexive") {
     val rnd = new Random(42)
     val words = Vector("alpha", "bravo", "charlie", "delta", "the", "inc", "xylophone")
