@@ -90,6 +90,32 @@ object StreamingKG {
     }
   }
 
+  /** Event-time windowed turn-rate aggregation with a watermark — the
+    * streaming-monitoring companion of the batch A-family aggregates:
+    * counts per (tumbling ts window, role), with state eviction bounded
+    * by `watermarkDelay` of event-time lateness (rows later than that
+    * are dropped, state for closed windows is released). Append output
+    * emits a window only once it is final; Update emits running counts.
+    */
+  def turnCountsByWindow(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"
+  ): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    turns
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("role"))
+      .agg(count(lit(1)).as("n_turns"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("role"),
+        col("n_turns")
+      )
+  }
+
   /** End-to-end streaming edge sink: extracted triples land in the
     * batch-idempotent edge layout via foreachBatch +
     * [[graft.graph.Materialize.appendEdgesBatch]] — a micro-batch

@@ -101,6 +101,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batchTriples && streamed > 0)
   }
 
+  test("watermarked windowed turn counts: late data dropped, windows finalize") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // aligned to a minute boundary
+    def at(ms: Long, conv: String, idx: Int, role: String) =
+      Turn(conv, idx, role, "x", None, new Timestamp(base + ms))
+
+    val input = MemoryStream[Turn]
+    val counts = StreamingKG.turnCountsByWindow(spark, input.toDS(), "1 minute", "2 minutes")
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("turn_counts")
+      .outputMode("append")
+      .start()
+
+    // window [0, 60s): 2 user + 1 assistant
+    input.addData(at(0, "a", 0, "user"), at(30000, "a", 1, "assistant"), at(45000, "b", 0, "user"))
+    q.processAllAvailable()
+    // advance event time far past the watermark so the first window finalizes
+    input.addData(at(400000, "a", 2, "user"))
+    q.processAllAvailable()
+    // LATE row for the closed first window: must be dropped
+    input.addData(at(10000, "c", 0, "user"))
+    q.processAllAvailable()
+    input.addData(at(800000, "a", 3, "user")) // close the 400s window too
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .sql("SELECT window_start, role, n_turns FROM turn_counts")
+      .as[(Timestamp, String, Long)]
+      .collect()
+      .map { case (ws, r, n) => (ws.getTime - base, r, n) }
+      .toSet
+    assert(got.contains((0L, "user", 2L)), s"got $got")
+    assert(got.contains((0L, "assistant", 1L)))
+    assert(!got.contains((0L, "user", 3L)), "late row must not re-open the closed window")
+  }
+
   test("streaming triples match the batch extractor") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
