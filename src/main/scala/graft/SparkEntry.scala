@@ -367,6 +367,18 @@ object SparkEntry {
         .select(col("s_suppkey"), col("event_type"), col("nn_dist"))
     }),
 
+    // ---- G2: distributed frontier BFS distances over a real graph
+    //      (supplier proximity pairs), from the smallest supplier key
+    "q_bfs_distances" -> ((s, dir) => {
+      val pairs = Blocks
+        .proximitySelfJoin(read(s, dir, "supplier"), "s_suppkey", "s_acctbal", 400.0)
+        .select(col("id_a").as("subj"), col("id_b").as("obj"))
+      val src = read(s, dir, "supplier").agg(min(col("s_suppkey"))).head().getLong(0)
+      graft.path.EntityPaths
+        .bfsDistances(s, pairs, src, maxDepth = 6)
+        .select(col("id"), col("dist"))
+    }),
+
     // ---- SO1: union + distinct across sources
     "q_union_keys" -> ((s, dir) =>
       read(s, dir, "orders")
@@ -807,6 +819,20 @@ object SparkEntry {
           |    row_number() OVER (PARTITION BY f.s_suppkey
           |      ORDER BY abs(f.probe - d.type_avg) ASC, d.event_type ASC) AS rn
           |  FROM facts f CROSS JOIN dim d) WHERE rn = 1""".stripMargin,
+      "q_bfs_distances" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+          |  FROM supplier a JOIN supplier b
+          |    ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) <= 400.0),
+          |adj AS (
+          |  SELECT src AS a, dst AS b FROM pairs WHERE src <> dst
+          |  UNION SELECT dst, src FROM pairs WHERE src <> dst),
+          |walk AS (
+          |  SELECT (SELECT min(s_suppkey) FROM supplier) AS id, 0 AS dist
+          |  UNION
+          |  SELECT adj.b AS id, walk.dist + 1 AS dist
+          |  FROM walk JOIN adj ON adj.a = walk.id WHERE walk.dist < 6)
+          |SELECT id, min(dist) AS dist FROM walk GROUP BY id""".stripMargin,
       "q_union_keys" ->
         """SELECT DISTINCT key FROM (
           |  SELECT o_custkey AS key FROM orders
