@@ -379,6 +379,15 @@ object SparkEntry {
         .select(col("id"), col("dist"))
     }),
 
+    // ---- G3: connected components over the proximity graph (min
+    //      member id per component — the canonicalization contract)
+    "q_cc_components" -> ((s, dir) => {
+      val pairs = Blocks
+        .proximitySelfJoin(read(s, dir, "supplier"), "s_suppkey", "s_acctbal", 400.0)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.canon.ConnectedComponents.run(s, pairs).select(col("id"), col("component"))
+    }),
+
     // ---- SO1: union + distinct across sources
     "q_union_keys" -> ((s, dir) =>
       read(s, dir, "orders")
@@ -833,6 +842,19 @@ object SparkEntry {
           |  SELECT adj.b AS id, walk.dist + 1 AS dist
           |  FROM walk JOIN adj ON adj.a = walk.id WHERE walk.dist < 6)
           |SELECT id, min(dist) AS dist FROM walk GROUP BY id""".stripMargin,
+      "q_cc_components" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+          |  FROM supplier a JOIN supplier b
+          |    ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) <= 400.0),
+          |adj AS (
+          |  SELECT src AS a, dst AS b FROM pairs WHERE src <> dst
+          |  UNION SELECT dst, src FROM pairs WHERE src <> dst),
+          |walk AS (
+          |  SELECT a AS id, a AS reach FROM adj
+          |  UNION
+          |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach)
+          |SELECT id, min(reach) AS component FROM walk GROUP BY id""".stripMargin,
       "q_union_keys" ->
         """SELECT DISTINCT key FROM (
           |  SELECT o_custkey AS key FROM orders
