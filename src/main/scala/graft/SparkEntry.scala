@@ -347,6 +347,28 @@ object SparkEntry {
       Ann.ivfTopK(s, queries, emb, "vec_id", "embedding", 5)
     }),
 
+    // ---- S5: trie mention detection over a broadcast dictionary —
+    //      exercises the REAL Aho-Corasick scan (word-boundary +
+    //      leftmost-longest); single-word surfaces make the semantics
+    //      SQL-mirrorable as token counting
+    "q_mention_counts" -> ((s, dir) => {
+      import s.implicits._
+      val dict = Array(("hash", 1L), ("join", 2L), ("scan", 3L), ("filter", 4L))
+      val bc = s.sparkContext.broadcast(dict)
+      read(s, dir, "documents")
+        .select(col("doc_id").cast("long"), lower(col("text")))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ac = graft.extract.AhoCorasick.build(bc.value.map { case (w, id) => (w, id) })
+          it.flatMap { case (docId, t) =>
+            ac.findMentions(t)
+              .groupBy(_.id)
+              .map { case (sid, ms) => (docId, sid, ms.size.toLong) }
+          }
+        }
+        .toDF("doc_id", "surface_id", "n_mentions")
+    }),
+
     // ---- text analysis: token count, language ID, quality score
     "q_text_stats" -> ((s, dir) =>
       TextOps
@@ -1015,6 +1037,17 @@ object SparkEntry {
           |  || CAST(CAST(round(x, 6) AS DECIMAL(18,6)) AS VARCHAR) || ','
           |  || CAST(CAST(round(y, 6) AS DECIMAL(18,6)) AS VARCHAR) || ']}}' AS geojson
           |FROM ds""".stripMargin,
+      "q_mention_counts" -> {
+        val words = Seq(("hash", 1), ("join", 2), ("scan", 3), ("filter", 4))
+        val arms = words.map { case (w, id) =>
+          s"""SELECT doc_id, $id AS surface_id,
+             |  len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x = '$w')) AS n_mentions
+             |FROM documents""".stripMargin
+        }
+        s"""SELECT doc_id, surface_id, n_mentions FROM (
+           |${arms.mkString("\nUNION ALL\n")})
+           |WHERE n_mentions > 0""".stripMargin
+      },
       "q_text_stats" -> {
         val (scores, best, whens) = langCase
         s"""SELECT doc_id,
