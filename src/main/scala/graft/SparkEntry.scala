@@ -598,6 +598,49 @@ object SparkEntry {
       Seq(("edges", e), ("vertices", v)).toDF("table_name", "n_rows")
     }),
 
+    // ---- S10: CSV sink round-trip (write via Materialize.writeCsv,
+    //      read back typed, return counters)
+    "q_csv_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val out = s"/tmp/graft_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val data = read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.graph.Materialize.writeCsv(data, out)
+      val back = s.read.option("header", "true")
+        .schema("event_type string, n_events long")
+        .csv(out)
+      back.select(col("event_type"), col("n_events"))
+    }),
+
+    // ---- S9: column-level upsert under the driver gate — write a
+    //      derived edge table, MERGE-backfill a column on a keyed
+    //      subset, read back and aggregate (crash-safe swap + bucket
+    //      metadata exercised end to end)
+    "q_upsert_roundtrip" -> ((s, dir) => {
+      val out = s"/tmp/graft_upsert/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh table each run
+      val edges = Sequences
+        .leadEdges(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_id")
+        .select(
+          col("user_id").cast("string").as("conv_id"),
+          col("src"),
+          col("dst"),
+          lit("orig").as("pred")
+        )
+      graft.graph.Materialize.writeEdges(s, edges, out, numBuckets = 8)
+      val updates = edges
+        .where(col("src") % 7 === 0)
+        .select(col("conv_id"), col("src"), lit("backfilled").as("pred"))
+      graft.graph.Materialize.upsertColumns(
+        s, out, updates, keyCols = Seq("conv_id", "src"), updateCols = Seq("pred"))
+      s.read.parquet(s"$out/edges")
+        .groupBy(col("pred"))
+        .agg(count(lit(1)).as("n_rows"))
+    }),
+
     // ---- case-study-1 tail: top keys with ties kept, winners deduped
     //      by normalized form (corpus engineered with case-variant ties)
     "q_topk_ties_dedup" -> ((s, dir) => {
@@ -1010,6 +1053,17 @@ object SparkEntry {
           |WHERE dst IS NOT NULL
           |UNION ALL
           |SELECT 'vertices', count(DISTINCT event_id) FROM events""".stripMargin,
+      "q_csv_roundtrip" ->
+        """SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type""",
+      "q_upsert_roundtrip" ->
+        """WITH pairs AS (
+          |  SELECT user_id, event_id AS src,
+          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+          |  FROM events)
+          |SELECT pred, count(*) AS n_rows FROM (
+          |  SELECT CASE WHEN src % 7 = 0 THEN 'backfilled' ELSE 'orig' END AS pred
+          |  FROM pairs WHERE dst IS NOT NULL)
+          |GROUP BY pred""".stripMargin,
       "q_topk_ties_dedup" ->
         """WITH corpus AS (
           |  SELECT event_type FROM events UNION ALL SELECT upper(event_type) FROM events),
