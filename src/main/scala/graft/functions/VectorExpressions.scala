@@ -55,10 +55,17 @@ object VectorExpressions {
       }
     override def dataType: DataType = DoubleType
 
+    // length mismatch is a data error (mixed embedding dims from a bad
+    // ingest) — FAIL like DuckDB's list_cosine_similarity does, instead
+    // of silently scoring a prefix and emitting plausible-but-wrong
+    // similarities
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (y.numElements() != n)
+        throw new IllegalArgumentException(
+          s"vec_dot: length mismatch ($n vs ${y.numElements()})")
       var acc = 0.0
       var i = 0
       while (i < n) {
@@ -76,7 +83,11 @@ object VectorExpressions {
         val ga = elemGetter(left.dataType)
         val gb = elemGetter(right.dataType)
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |int $n = $a.numElements();
+           |if ($b.numElements() != $n) {
+           |  throw new IllegalArgumentException(
+           |    "vec_dot: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+           |}
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  $acc += (double)$a.$ga($i) * (double)$b.$gb($i);

@@ -24,9 +24,11 @@ final case class SurfaceForm(
   * Graft of the reference's external enrichment sources (Overpass road
   * tags /root/reference/src/TCXParser.jl:153-181, weather dimension
   * :267-318): a broadcast side dictionary joined against the fact
-  * stream. Every value is a pure function of (seed, entity index) so
-  * the same dictionary can be rebuilt identically on any executor and
-  * at any scale.
+  * stream. The surface space is a deterministic function of the ENTITY
+  * INDEX alone (names/variants do not vary with the seed — the linking
+  * hardness is structural, not sampled; the seed drives the turn
+  * stream's contents instead), so the same dictionary rebuilds
+  * identically on any executor at any scale.
   *
   * Each canonical entity gets several surface variants (case variant,
   * legal-suffix variant, single-char typo, abbreviation). Variants of
@@ -55,8 +57,9 @@ object Dictionary {
     "Vertex", "Willow", "Xenon", "Yarrow", "Zephyr", "Atlas", "Borealis",
     "Cascade", "Drift", "Equinox", "Fjord", "Glacier", "Horizon"
   )
-  // 4-char prefixes are all distinct (abbreviation variant clips to 4
-  // chars — distinct prefixes keep abbreviations unambiguous).
+  // 5-char prefixes are all distinct (the abbreviation variant clips
+  // the second word to 5 chars — distinct prefixes keep abbreviations
+  // unambiguous; build() fail-fasts if a new word collides).
   private val Second = Vector(
     "Systems", "Dynamics", "Labs", "Analytics", "Networks", "Holdings",
     "Industries", "Partners", "Logistics", "Robotics", "Energy",

@@ -95,14 +95,19 @@ object Blocks {
       dimKey: String,
       dimVal: String
   ): DataFrame = {
+    // argmin per physical FACT ROW, not per factKey value: partitioning
+    // on the key alone would silently collapse duplicate-key fact rows
+    // to one enriched row. The row id is ephemeral (window-internal,
+    // dropped) so its cross-run instability can't leak into the output.
+    val withRowId = facts.withColumn("_fact_row", monotonically_increasing_id())
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(factKey))
+      .partitionBy(col("_fact_row"))
       .orderBy(abs(col(factVal) - col(dimVal)).asc, col(dimKey).asc)
-    facts
+    withRowId
       .join(broadcast(dim))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .drop("_rn")
+      .drop("_rn", "_fact_row")
       .withColumn("nn_dist", round(abs(col(factVal) - col(dimVal)), 6))
   }
 

@@ -132,7 +132,9 @@ object Sequences {
       .orderBy(col("_c2"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = totals
-      .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0.0)))
+      // lit(0L), not lit(0.0): an integral value column must keep its
+      // type (long + long stays long; long 0 coerces under double sums)
+      .withColumn("_offset", coalesce(sum(col("_total")).over(wOff), lit(0L)))
       .select(col("_s2"), col("_c2"), col("_offset"))
 
     within

@@ -32,19 +32,23 @@ object Stats {
     val cntAggs = Seq(count(lit(1)).as("n_rows"))
     val base = df.groupBy(groupCols.map(col): _*).agg((numAggs ++ cntAggs).head, (numAggs ++ cntAggs).tail: _*)
     // deterministic mode per string col: max count, tie-break smallest
-    // value — identical rule on the oracle side
+    // value with NULL LAST (DuckDB's ASC default — keeps the oracle
+    // rule identical when a NULL string ties a real value). The join
+    // back is NULL-SAFE so a NULL group keeps its profile row instead
+    // of silently vanishing through an equi-join.
     strCols.foldLeft(base) { (acc, c) =>
       val counted = df
         .groupBy((groupCols :+ c).map(col): _*)
         .agg(count(lit(1)).as("cnt"))
       val w = Window
         .partitionBy(groupCols.map(col): _*)
-        .orderBy(col("cnt").desc, col(c).asc)
-      val modes = counted
+        .orderBy(col("cnt").desc, col(c).asc_nulls_last)
+      val modes0 = counted
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select((groupCols.map(col) :+ col(c).as(s"${c}_mode")): _*)
-      acc.join(modes, groupCols)
+        .select((groupCols.map(g => col(g).as(s"_m_$g")) :+ col(c).as(s"${c}_mode")): _*)
+      val cond = groupCols.map(g => acc(g) <=> modes0(s"_m_$g")).reduce(_ && _)
+      acc.join(modes0, cond).drop(groupCols.map(g => s"_m_$g"): _*)
     }
   }
 
@@ -86,14 +90,19 @@ object Stats {
       .drop("_gkey", "_grp_med", "_glob_med")
   }
 
-  /** M1/M2: drop columns whose missing percentage exceeds `threshold`
-    * (100.0 = only fully-missing). Two jobs: one stats pass, one
-    * metadata-driven select — never a per-column job.
+  /** M1/M2: drop columns whose missing percentage EXCEEDS `threshold`
+    * (boundary kept; 100.0 = only fully-missing). Two jobs: one stats
+    * pass, one metadata-driven select — never a per-column job. An
+    * empty input has no evidence of missingness (avg over 0 rows is
+    * NULL) — every column is kept.
     */
   def dropHighMissing(df: DataFrame, threshold: Double): DataFrame = {
     val cols = df.columns.toSeq
-    val pct = missingPct(df, cols).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val keep = cols.filter(c => pct(c) < threshold)
+    val pct = missingPct(df, cols)
+      .collect()
+      .map(r => r.getString(0) -> (if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+      .toMap
+    val keep = cols.filter(c => pct(c) <= threshold)
     df.select(keep.map(col): _*)
   }
 

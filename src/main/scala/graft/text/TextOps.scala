@@ -47,9 +47,6 @@ object TextOps {
     size(filter(toks, t => array_contains(arr, t)))
   }
 
-  private def markerHits(text: Column, markers: Seq[String]): Column =
-    markerHitsTok(split(lower(text), "\\s+"), markers)
-
   /** Heuristic language ID: per-language stopword evidence, argmax with
     * deterministic first-wins tie-break ("unknown" if nothing matches).
     */
@@ -91,9 +88,10 @@ object TextOps {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), "\\s+", " "))
 
-  /** Deterministic 64-bit document fingerprint over the normalized
-    * text (driver-side twin of the distributed column below; used by
-    * tests).
+  /** Deterministic 64-bit driver-side string fingerprint (FNV-mix; a
+    * STANDALONE hash — NOT bit-compatible with `fingerprintCol`'s
+    * xxhash64-of-normalized column, and applied to the raw string;
+    * used by tests and the shingle machinery).
     */
   def fingerprint64(s: String): Long = Hashing.hashString(s)
 
