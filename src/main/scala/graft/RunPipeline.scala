@@ -97,7 +97,10 @@ object RunPipeline {
   def main(argv: Array[String]): Unit = {
     val args = parse(argv.toList)
     require(args.out.nonEmpty, "--out is required")
+    // spark-submit supplies the master (spark.master system property);
+    // a bare `runMain` smoke falls back to local[*]
     val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
       .appName("graft-kg-pipeline")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
