@@ -33,22 +33,40 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () })
 
-    def timed(body: => Unit): Double = {
+    // a query that throws must NOT read as a fast success: its entry is
+    // still timed, but it lands in the errors map (and the JSON carries
+    // "errors" + "n_errors" so a regression is visible in the artifact)
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timed(name: String)(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try body catch { case _: Throwable => () }
+      try body catch {
+        case e: Throwable =>
+          errors(name) =
+            e.getClass.getName + ": " + Option(e.getMessage).getOrElse("").take(200)
+      }
       (System.nanoTime() - t0) / 1e9
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    results("kg_pipeline_build") = timed(SparkEntry.prepareKg(spark, sfDir))
+    results("kg_pipeline_build") = timed("kg_pipeline_build")(SparkEntry.prepareKg(spark, sfDir))
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timed(fn(spark, sfDir).count())
+      results(name) = timed(name)(fn(spark, sfDir).count())
     }
 
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v) => jq(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

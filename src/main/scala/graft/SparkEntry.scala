@@ -56,14 +56,21 @@ object SparkEntry {
   // keyed by (applicationId, dir): cached DataFrames are bound to the
   // SparkContext that created them — a dir-only key breaks (or silently
   // misbehaves) when a later SparkSession in the same JVM asks for the
-  // same dir. Entries of OTHER (stopped) contexts are pruned on each
-  // lookup, so a JVM that churns sessions doesn't pin dead object
-  // graphs forever.
-  private val kgCache = scala.collection.concurrent.TrieMap.empty[(String, String), KGPipeline.Result]
-  private def kgResult(s: SparkSession, dir: String): KGPipeline.Result = {
+  // same dir. Entries whose owning SparkContext has STOPPED are pruned
+  // on each lookup (the session rides along in the value for exactly
+  // this check), so a JVM that churns sessions doesn't pin dead object
+  // graphs — while two concurrently LIVE sessions keep their own
+  // entries instead of thrashing each other out of the cache.
+  private type Memo[T] = scala.collection.concurrent.TrieMap[(String, String), (SparkSession, T)]
+  private def memoized[T](cache: Memo[T], s: SparkSession, dir: String)(build: => T): T = {
     val app = s.sparkContext.applicationId
-    kgCache.filterInPlace { case ((a, _), _) => a == app }
-    kgCache.getOrElseUpdate((app, dir), {
+    cache.filterInPlace { case (_, (sess, _)) => !sess.sparkContext.isStopped }
+    cache.getOrElseUpdate((app, dir), (s, build))._2
+  }
+
+  private val kgCache: Memo[KGPipeline.Result] = scala.collection.concurrent.TrieMap.empty
+  private def kgResult(s: SparkSession, dir: String): KGPipeline.Result =
+    memoized(kgCache, s, dir) {
       val cfg = genConfigFor(dir)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
       val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
@@ -71,8 +78,20 @@ object SparkEntry {
       // (small, canonical) output tables, not the turn-stream
       // intermediates; mirrors reading back the written tables
       KGPipeline.Result(r.vertices.cache(), r.edges.cache(), r.mapping)
-    })
-  }
+    }
+
+  /** One exact-Jaccard pair table per (session, dir), shared by
+    * q_jaccard_pairs and q_neardup_survivors — the two queries consume
+    * the SAME prefix-filtered join over the same corpus (a user
+    * materializes the pair table once and derives both views; the memo
+    * mirrors that instead of running the join twice). Same lifecycle
+    * rules as kgCache.
+    */
+  private val pairCache: Memo[DataFrame] = scala.collection.concurrent.TrieMap.empty
+  private def jaccardPairTable(s: SparkSession, dir: String): DataFrame =
+    memoized(pairCache, s, dir) {
+      Dedup.jaccardPairsExact(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6).cache()
+    }
 
   /** Materialize the sf-dir KG pipeline (the shared input of the kg_*
     * queries) and return (vertices, edges) counts. Bench calls this
@@ -184,13 +203,17 @@ object SparkEntry {
           count(lit(1)).as("n_events")
         )),
 
-    // ---- A3: full stats profile (mean/median/std/min/max + string mode)
+    // ---- A3: full stats profile (mean/median/std/min/max + string mode
+    //      + provenance countDistinct + centroid — the reference's
+    //      num_files_involved and segment centroid)
     "q_stats_profile" -> ((s, dir) =>
       Stats.profile(
         read(s, dir, "lineitem"),
         Seq("l_returnflag"),
         Seq("l_quantity", "l_extendedprice"),
-        Seq("l_linestatus")
+        Seq("l_linestatus"),
+        provenanceCol = Some("l_orderkey"),
+        centroidCols = Seq("l_discount", "l_tax")
       )),
 
     // ---- A5: per-column missing percentage (one pass)
@@ -303,21 +326,51 @@ object SparkEntry {
 
     // ---- dedup: EXACT Jaccard similarity join via prefix filtering
     //      (recall-complete — hard DuckDB oracle on the same corpus the
-    //      LSH variant blocks approximately)
+    //      LSH variant blocks approximately). Pair table memoized per
+    //      (session, dir) — q_neardup_survivors derives from the same one.
     "q_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsExact(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+      jaccardPairTable(s, dir)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ---- dedup: survivors of the exact near-dup join under the
-    //      pairwise smaller-id-wins policy (composition oracle)
+    //      pairwise smaller-id-wins policy (composition oracle) — one
+    //      distinct + anti-join over the memoized pair table
     "q_neardup_survivors" -> ((s, dir) =>
-      Dedup.nearDupSurvivors(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+      Dedup.nearDupSurvivorsFromPairs(docsWithClips(s, dir), jaccardPairTable(s, dir), "doc_id")
         .select(col("doc_id"))),
+
+    // ---- dedup: MinHash precision guard — LSH output anti-joined
+    //      against the EXACT prefix-filtered join must be empty
+    //      (minhashNearDupPairs re-scores candidates exactly, so
+    //      precision is 1.0 by construction at ANY scale; the banding
+    //      recall is what stays approximate). A violation row here means
+    //      the residual filter broke — hard oracle: the empty set.
+    "q_minhash_precision" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"))
+        .join(jaccardPairTable(s, dir).select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")),
 
     // ---- dedup: SimHash near-dup pairs (rows-only; spec-verified)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3)
         .select(col("id_a"), col("id_b"), col("hamming"))),
+
+    // ---- dedup: SimHash recall guard on exact duplicates — the
+    //      engineered case-mutated copies (doc_id % 3 == 0 -> id+100000)
+    //      have IDENTICAL case-folded token streams, hence identical
+    //      64-bit SimHash signatures (hamming 0), so the pigeonhole
+    //      blocking MUST emit every such pair. Expected-minus-found must
+    //      be empty; the expected side is pure SQL.
+    "q_simhash_recall_guard" -> ((s, dir) => {
+      val expected = read(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long").as("id_a"),
+          (col("doc_id") + 100000).cast("long").as("id_b"))
+      val found = Dedup.simhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3)
+        .select(col("id_a"), col("id_b"))
+      expected.join(found, Seq("id_a", "id_b"), "left_anti")
+    }),
 
     // ---- dedup: embedding-cosine near-dup pairs
     "q_cosine_pairs" -> ((s, dir) =>
@@ -331,7 +384,9 @@ object SparkEntry {
       Ann.bruteForceTopK(queries, emb, "vec_id", "embedding", 5)
     }),
 
-    // ---- ANN: LSH-bucketed variant (rows-only; recall spec-verified)
+    // ---- ANN: LSH-bucketed variant — multi-probe recall is 1.0 on the
+    //      driver corpora (measured at sf0.01 + sf0.1), so it carries
+    //      the brute-force DuckDB oracle
     "q_ann_lsh" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
       val queries = emb.where(col("label") === 0).orderBy(col("vec_id")).limit(20)
@@ -399,6 +454,17 @@ object SparkEntry {
       graft.path.EntityPaths
         .bfsDistances(s, pairs, src, maxDepth = 6)
         .select(col("id"), col("dist"))
+    }),
+
+    // ---- G2: shortest-path reconstruction over the same graph — path
+    //      to the deterministic farthest node (max dist, min id), parent
+    //      tie-break = min predecessor id (oracle replays the same rule)
+    "q_bfs_path" -> ((s, dir) => {
+      val pairs = Blocks
+        .proximitySelfJoin(read(s, dir, "supplier"), "s_suppkey", "s_acctbal", 400.0)
+        .select(col("id_a").as("subj"), col("id_b").as("obj"))
+      val src = read(s, dir, "supplier").agg(min(col("s_suppkey"))).head().getLong(0)
+      graft.path.EntityPaths.pathToFarthest(s, pairs, src, maxDepth = 6)
     }),
 
     // ---- G3: connected components over the proximity graph (min
@@ -523,57 +589,18 @@ object SparkEntry {
 
     // ---- J4 stage-2: best-window-per-session similarity join (the
     //      reference's find_best_window_in_ride over the turn stream).
-    //      Turns = events ordered per user; per-turn token set =
-    //      {type token, grid-cell token}; pattern = the min user's first
-    //      8 turns; score = mean aligned (1 - Jaccard), tol 0.9.
-    "q_window_match" -> ((s, dir) => {
-      val ev = read(s, dir, "events")
-      val toks = ev.select(
-        col("user_id"),
-        col("ts"),
-        col("event_id"),
-        array(
-          xxhash64(concat(lit("t:"), col("event_type"))),
-          xxhash64(concat(lit("c:"), floor(col("value") / 5.0).cast("long").cast("string")))
-        ).as("tokens")
-      )
-      // reference user = smallest user WITH >= 8 events, so the pattern
-      // is always exactly 8 turns (the oracle hardcodes w=8; a shorter
-      // user would silently shrink the Spark-side pattern)
-      val refRow = ev
-        .groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") >= 8)
-        .agg(min(col("user_id")))
-        .head()
-      if (refRow.isNullAt(0)) {
-        s.createDataFrame(
-          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "user_id long, start_idx int, end_idx int, score double")
-        )
-      } else {
-        val refU = refRow.getLong(0)
-        val patTurns = toks
-          .where(col("user_id") === refU)
-          .sort(col("ts"), col("event_id"))
-          .limit(8)
-          .select(col("tokens"))
-          .collect()
-          .map(_.getSeq[Long](0).toArray)
-        val pattern = graft.link.WindowMatch.WindowPattern(0L, patTurns)
-        graft.link.WindowMatch
-          .bestWindowPerSession(
-            s,
-            toks.where(col("user_id") =!= refU),
-            "user_id",
-            Seq("ts", "event_id"),
-            "tokens",
-            Seq(pattern),
-            tol = 0.9
-          )
-          .select(col("conv_id").cast("long").as("user_id"), col("start_idx"), col("end_idx"), col("score"))
-      }
+    //      Result shared with q_run_explode via the (session, dir) memo.
+    "q_window_match" -> ((s, dir) => bestWindowMatches(s, dir)),
+
+    // ---- per-run detail explode (the reference's
+    //      extract_single_segment_runs): best-window runs joined back to
+    //      the ordered turn stream — one row per (run, turn in window)
+    "q_run_explode" -> ((s, dir) => {
+      val runs = bestWindowMatches(s, dir)
+        .select(col("user_id").as("conv_id"), col("start_idx"), col("end_idx"))
+      graft.link.SegmentRuns
+        .explodeRuns(read(s, dir, "events"), runs, "user_id", Seq("ts", "event_id"))
+        .select(col("user_id"), col("start_idx"), col("turn_pos"), col("event_id"))
     }),
 
     // ---- S7/S8/G4 under the driver check: write a derived graph via
@@ -682,6 +709,39 @@ object SparkEntry {
     "kg_pred_transitions" -> ((s, dir) =>
       graft.analytics.EntityAggregates.predicateTransitions(kgResult(s, dir).edges.toDF())),
 
+    // ---- KG relational invariants as data: the pipeline outputs are
+    //      LSH+CC-internal (no SQL oracle), but their CONSEQUENCES are
+    //      checkable — each row is an invariant verified over the real
+    //      graph; the DuckDB mirror pins every row to ok=true, so any
+    //      violation (dangling endpoint, fabricated provenance, null
+    //      field, duplicate canonical id) turns the row red.
+    "kg_invariants" -> ((s, dir) => {
+      import s.implicits._
+      val r = kgResult(s, dir)
+      val edges = r.edges.toDF()
+      val vertIds = r.vertices.toDF().select(col("entity_id"))
+      val turns = TranscriptGen.transcripts(s, genConfigFor(dir))
+        .where(col("text").isNotNull)
+        .select(col("conv_id"), col("turn_idx"))
+      val endpoints = edges.select(col("subj").as("entity_id"))
+        .union(edges.select(col("obj").as("entity_id"))).distinct()
+      val danglingEndpoints =
+        endpoints.join(vertIds, Seq("entity_id"), "left_anti").limit(1).count()
+      val orphanProvenance = edges.select(col("conv_id"), col("turn_idx")).distinct()
+        .join(turns, Seq("conv_id", "turn_idx"), "left_anti").limit(1).count()
+      val nullFields = edges.where(
+        col("subj").isNull || col("pred").isNull || col("obj").isNull ||
+          col("conv_id").isNull || col("turn_idx").isNull).limit(1).count()
+      val dupVertices = r.vertices.toDF().groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n")).where(col("n") > 1).limit(1).count()
+      Seq(
+        ("edge_endpoints_in_vertices", danglingEndpoints == 0L),
+        ("no_null_edge_fields", nullFields == 0L),
+        ("provenance_turn_exists", orphanProvenance == 0L),
+        ("vertex_ids_unique", dupVertices == 0L)
+      ).toDF("check_name", "ok")
+    }),
+
     // ---- KG pipeline outputs (non-SQL-expressible: LSH + CC inside;
     //      spec-verified against the generation oracle)
     "kg_edges" -> ((s, dir) => kgResult(s, dir).edges.toDF()),
@@ -689,6 +749,65 @@ object SparkEntry {
       kgResult(s, dir).vertices.toDF()
         .select(col("entity_id"), col("type"), concat_ws("|", col("aliases")).as("aliases")))
   )
+
+  /** J4 stage-2 body (see q_window_match): turns = events ordered per
+    * user; per-turn token set = {type token, grid-cell token}; pattern =
+    * the smallest user WITH >= 8 events, first 8 turns (so the pattern
+    * is always exactly 8 turns — the oracle hardcodes w=8); score =
+    * mean aligned (1 - Jaccard), tol 0.9. Memoized per (session, dir) —
+    * q_window_match returns it, q_run_explode joins it back to the
+    * turn stream.
+    */
+  private val wmCache: Memo[DataFrame] = scala.collection.concurrent.TrieMap.empty
+  private def bestWindowMatches(s: SparkSession, dir: String): DataFrame =
+    memoized(wmCache, s, dir) {
+      val ev = read(s, dir, "events")
+      val toks = ev.select(
+        col("user_id"),
+        col("ts"),
+        col("event_id"),
+        array(
+          xxhash64(concat(lit("t:"), col("event_type"))),
+          xxhash64(concat(lit("c:"), floor(col("value") / 5.0).cast("long").cast("string")))
+        ).as("tokens")
+      )
+      val refRow = ev
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 8)
+        .agg(min(col("user_id")))
+        .head()
+      val out =
+        if (refRow.isNullAt(0)) {
+          s.createDataFrame(
+            s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "user_id long, start_idx int, end_idx int, score double")
+          )
+        } else {
+          val refU = refRow.getLong(0)
+          val patTurns = toks
+            .where(col("user_id") === refU)
+            .sort(col("ts"), col("event_id"))
+            .limit(8)
+            .select(col("tokens"))
+            .collect()
+            .map(_.getSeq[Long](0).toArray)
+          val pattern = graft.link.WindowMatch.WindowPattern(0L, patTurns)
+          graft.link.WindowMatch
+            .bestWindowPerSession(
+              s,
+              toks.where(col("user_id") =!= refU),
+              "user_id",
+              Seq("ts", "event_id"),
+              "tokens",
+              Seq(pattern),
+              tol = 0.9
+            )
+            .select(col("conv_id").cast("long").as("user_id"), col("start_idx"), col("end_idx"), col("score"))
+        }
+      out.cache()
+    }
 
   /** DuckDB mirrors. Aliases and rounding match the Spark side exactly. */
   def oracleSql: Map[String, String] = {
@@ -760,6 +879,9 @@ object SparkEntry {
           |    round(stddev_samp(l_extendedprice), 6) AS l_extendedprice_std,
           |    round(min(l_extendedprice), 6) AS l_extendedprice_min,
           |    round(max(l_extendedprice), 6) AS l_extendedprice_max,
+          |    count(DISTINCT l_orderkey) AS n_sources,
+          |    round(avg(l_discount), 6) AS centroid_l_discount,
+          |    round(avg(l_tax), 6) AS centroid_l_tax,
           |    count(*) AS n_rows
           |  FROM lineitem GROUP BY l_returnflag),
           |modes AS (
@@ -885,6 +1007,24 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cosine, rank FROM (
           |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
           |  FROM scored) WHERE rank <= 5""".stripMargin,
+      // multi-probe SRP-LSH has measured recall 1.0 on both driver
+      // corpora (tools/ApproxParityProbe: output == brute force at
+      // sf0.01 AND sf0.1), so it carries the same brute-force oracle —
+      // a recall regression turns the row red instead of hiding behind
+      // no_oracle
+      "q_ann_lsh" ->
+        """WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE label = 0 ORDER BY vec_id LIMIT 20),
+          |scored AS (
+          |  SELECT q.query_id, e.vec_id AS neighbor_id,
+          |    round(list_cosine_similarity(q.q_vec::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+          |  FROM q JOIN embeddings e ON e.vec_id <> q.query_id)
+          |SELECT query_id, neighbor_id, cosine, rank FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          |  FROM scored) WHERE rank <= 5""".stripMargin,
+      "q_minhash_precision" ->
+        """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
+      "q_simhash_recall_guard" ->
+        """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
       "q_nn_enrich" ->
         """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY event_type),
           |facts AS (SELECT s_suppkey, abs(s_acctbal) % 20.0 AS probe FROM supplier)
@@ -907,6 +1047,32 @@ object SparkEntry {
           |  SELECT adj.b AS id, walk.dist + 1 AS dist
           |  FROM walk JOIN adj ON adj.a = walk.id WHERE walk.dist < 6)
           |SELECT id, min(dist) AS dist FROM walk GROUP BY id""".stripMargin,
+      "q_bfs_path" ->
+        """WITH RECURSIVE pairs AS (
+          |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+          |  FROM supplier a JOIN supplier b
+          |    ON a.s_suppkey < b.s_suppkey AND abs(a.s_acctbal - b.s_acctbal) <= 400.0),
+          |adj AS (
+          |  SELECT src AS a, dst AS b FROM pairs WHERE src <> dst
+          |  UNION SELECT dst, src FROM pairs WHERE src <> dst),
+          |walk AS (
+          |  SELECT (SELECT min(s_suppkey) FROM supplier) AS id, 0 AS dist
+          |  UNION
+          |  SELECT adj.b AS id, walk.dist + 1 AS dist
+          |  FROM walk JOIN adj ON adj.a = walk.id WHERE walk.dist < 6),
+          |dists AS (SELECT id, min(dist) AS dist FROM walk GROUP BY id),
+          |parents AS (
+          |  SELECT v.id, min(adj.a) AS parent
+          |  FROM dists v JOIN adj ON adj.b = v.id
+          |  JOIN dists u ON u.id = adj.a AND u.dist = v.dist - 1
+          |  GROUP BY v.id),
+          |target AS (SELECT id, dist FROM dists ORDER BY dist DESC, id ASC LIMIT 1),
+          |pathw AS (
+          |  SELECT t.dist AS step, t.id AS id FROM target t
+          |  UNION ALL
+          |  SELECT pw.step - 1, p.parent FROM pathw pw JOIN parents p ON p.id = pw.id
+          |  WHERE pw.step > 0)
+          |SELECT step, id FROM pathw""".stripMargin,
       "q_cc_components" ->
         """WITH RECURSIVE pairs AS (
           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
@@ -1047,6 +1213,33 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY user_id ORDER BY score ASC, start ASC) AS rn FROM scores)
           |SELECT user_id, start AS start_idx, start + 7 AS end_idx, score
           |FROM best WHERE rn = 1 AND score <= 0.9""".stripMargin,
+      "q_run_explode" ->
+        """WITH seq AS (
+          |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS idx
+          |  FROM events),
+          |refu AS (SELECT min(user_id) AS u FROM (
+          |  SELECT user_id FROM events GROUP BY user_id HAVING count(*) >= 8)),
+          |pat AS (SELECT idx AS pidx, tkt AS ptkt, tkc AS ptkc FROM seq, refu WHERE user_id = u AND idx <= 8),
+          |aligned AS (
+          |  SELECT s.user_id, s.idx - p.pidx + 1 AS start,
+          |    (CASE WHEN s.tkt = p.ptkt THEN 1 ELSE 0 END) + (CASE WHEN s.tkc = p.ptkc THEN 1 ELSE 0 END) AS inter
+          |  FROM seq s CROSS JOIN refu JOIN pat p ON s.idx - p.pidx >= 0
+          |  WHERE s.user_id <> refu.u),
+          |scores AS (
+          |  SELECT user_id, start, round(1.0 - avg(inter / (4.0 - inter)), 6) AS score
+          |  FROM aligned WHERE start >= 1
+          |  GROUP BY user_id, start HAVING count(*) = 8),
+          |best AS (SELECT user_id, start, score,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY score ASC, start ASC) AS rn FROM scores),
+          |runs AS (SELECT user_id, start AS start_idx, start + 7 AS end_idx
+          |  FROM best WHERE rn = 1 AND score <= 0.9),
+          |pos AS (SELECT user_id, event_id,
+          |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS turn_pos
+          |  FROM events)
+          |SELECT r.user_id, r.start_idx, p.turn_pos, p.event_id
+          |FROM runs r JOIN pos p
+          |  ON p.user_id = r.user_id AND p.turn_pos BETWEEN r.start_idx AND r.end_idx""".stripMargin,
       "q_sink_roundtrip" ->
         """SELECT 'edges' AS table_name, count(*) AS n_rows FROM (
           |  SELECT lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events)
@@ -1102,6 +1295,11 @@ object SparkEntry {
            |${arms.mkString("\nUNION ALL\n")})
            |WHERE n_mentions > 0""".stripMargin
       },
+      "kg_invariants" ->
+        """SELECT 'edge_endpoints_in_vertices' AS check_name, true AS ok
+          |UNION ALL SELECT 'no_null_edge_fields', true
+          |UNION ALL SELECT 'provenance_turn_exists', true
+          |UNION ALL SELECT 'vertex_ids_unique', true""".stripMargin,
       "q_text_stats" -> {
         val (scores, best, whens) = langCase
         s"""SELECT doc_id,

@@ -73,6 +73,17 @@ object Dedup {
     // joins on the long id. The previous shape duplicated each shingle
     // set x numBands into the band shuffle and again through the pair
     // shuffle.
+    //
+    // Deliberate tradeoff: `shingled` (re-fetch side) and `banded`
+    // (signature side) each shingle the corpus once — ~2x shingling CPU
+    // instead of persisting the shingle sets between consumers. A
+    // persist would pin |corpus| wide array rows in executor storage
+    // through Spark's slow non-columnar cache path (measured ~10x a
+    // recompute for nested rows — see KGPipeline's persistIntermediate
+    // note); at 10^12-doc scale the right form is a staging parquet of
+    // (id, shingles) that both branches scan, which is what
+    // persistIntermediate-style staging would do. Shingling itself is a
+    // narrow codegen-adjacent map, so recompute stays the default here.
     val shingled = base
       .map { case (id, t) => (id, wordShingles(t, cfg.shingleK)) }
       .toDF("id", "sh")
@@ -229,10 +240,19 @@ object Dedup {
       textCol: String,
       shingleN: Int,
       threshold: Double
-  ): DataFrame = {
-    val dominated = jaccardPairsExact(spark, df, idCol, textCol, shingleN, threshold)
-      .select(col("id_b").as(idCol))
-      .distinct()
+  ): DataFrame =
+    nearDupSurvivorsFromPairs(
+      df,
+      jaccardPairsExact(spark, df, idCol, textCol, shingleN, threshold),
+      idCol
+    )
+
+  /** Survivors from an already-computed pair table (id_a < id_b) —
+    * lets callers that also consume the pairs run the expensive join
+    * once: one distinct + one anti-join here.
+    */
+  def nearDupSurvivorsFromPairs(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val dominated = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(dominated, df(idCol).cast("long") === dominated(idCol), "left_anti")
   }
 

@@ -30,21 +30,35 @@ object Materialize {
   private def lineagePath(outDir: String) = s"$outDir/_lineage"
   private def metaPath(outDir: String) = s"$outDir/_table_meta.json"
 
-  /** Persist the layout's bucket count at first write; consumers (the
-    * upsert) must bucket with the SAME count or their partition pruning
-    * silently reads the wrong dirs.
+  /** The two incompatible edges/ layouts. [[writeEdges]]/[[upsertColumns]]
+    * lay out `edges/part_bucket=B/`; [[appendEdgesBatch]] lays out
+    * `edges/batch_id=N/part_bucket=B/`. Mixing them under one dir breaks
+    * partition discovery, so the layout kind is recorded in
+    * `_table_meta.json` at first write and every writer fails fast when
+    * pointed at the other kind.
     */
-  private def writeTableMeta(fs: org.apache.hadoop.fs.FileSystem, outDir: String, numBuckets: Int): Unit = {
+  val LayoutBucketed = "bucketed"
+  val LayoutBatched = "batched"
+
+  /** Persist the layout kind + bucket count at first write; consumers
+    * (the upsert) must bucket with the SAME count or their partition
+    * pruning silently reads the wrong dirs.
+    */
+  private def writeTableMeta(
+      fs: org.apache.hadoop.fs.FileSystem,
+      outDir: String,
+      numBuckets: Int,
+      layout: String
+  ): Unit = {
     val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
     if (!fs.exists(p)) {
       val os = fs.create(p, true)
-      os.write(("{\"num_buckets\":" + numBuckets + "}").getBytes("UTF-8"))
+      os.write(("{\"num_buckets\":" + numBuckets + ",\"layout\":\"" + layout + "\"}").getBytes("UTF-8"))
       os.close()
     }
   }
 
-  /** Bucket count the table was written with (None before first write). */
-  def tableNumBuckets(spark: SparkSession, outDir: String): Option[Int] = {
+  private def readTableMeta(spark: SparkSession, outDir: String): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(metaPath(outDir))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -55,10 +69,29 @@ object Materialize {
       var n = in.read(tmp)
       while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
       in.close()
-      val txt = buf.toString("UTF-8")
-      raw""""num_buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      Some(buf.toString("UTF-8"))
     }
   }
+
+  /** Bucket count the table was written with (None before first write). */
+  def tableNumBuckets(spark: SparkSession, outDir: String): Option[Int] =
+    readTableMeta(spark, outDir).flatMap(txt =>
+      raw""""num_buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(txt).map(_.group(1).toInt))
+
+  /** Layout kind the table was written with. Tables written before the
+    * layout field existed can only have come from the bucketed writers
+    * (they were the only meta writers), so a meta without the field
+    * reads as bucketed.
+    */
+  def tableLayout(spark: SparkSession, outDir: String): Option[String] =
+    readTableMeta(spark, outDir).map(txt =>
+      raw""""layout"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse(LayoutBucketed))
+
+  private def requireLayout(spark: SparkSession, outDir: String, expected: String, op: String): Unit =
+    tableLayout(spark, outDir).foreach(l =>
+      require(l == expected,
+        s"$op requires a $expected-layout table, but $outDir was written as $l " +
+          "(edges/part_bucket=B vs edges/batch_id=N/part_bucket=B are incompatible layouts)"))
 
   /** Buckets already written successfully (empty DF on first run). */
   def completedBuckets(spark: SparkSession, outDir: String): DataFrame = {
@@ -86,9 +119,10 @@ object Materialize {
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val fsMeta = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireLayout(spark, outDir, LayoutBucketed, "writeEdges")
     tableNumBuckets(spark, outDir).foreach(n =>
       require(n == numBuckets, s"table at $outDir was written with num_buckets=$n, got $numBuckets"))
-    writeTableMeta(fsMeta, outDir, numBuckets)
+    writeTableMeta(fsMeta, outDir, numBuckets, LayoutBucketed)
 
     val bucketed = withBucket(edges, numBuckets)
     val done = completedBuckets(spark, outDir)
@@ -158,6 +192,8 @@ object Materialize {
     val ledger = s"$outDir/_batches"
     val lp = new org.apache.hadoop.fs.Path(ledger)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    requireLayout(spark, outDir, LayoutBatched, "appendEdgesBatch")
+    writeTableMeta(fs, outDir, numBuckets, LayoutBatched)
     val committed =
       if (fs.exists(lp))
         spark.read.parquet(ledger).where(col("batch_id") === batchId).limit(1).count() > 0
@@ -206,12 +242,23 @@ object Materialize {
     *
     * Crash safety: each bucket swap is (1) rename live dir aside to
     * `_bak_<dir>` (the leading underscore hides it from Spark's file
-    * listing, so a crashed swap never corrupts partition discovery for
-    * concurrent readers), (2) rename staging dir in, (3) delete the
-    * bak. Every run first HEALS interrupted swaps — a bak with no live
-    * dir is restored (crash between 1 and 2); a bak beside a live dir
-    * is stale and deleted (crash between 2 and 3). No step ever leaves
-    * the only copy of a bucket in a directory a re-run overwrites.
+    * listing, so a crashed swap never corrupts partition discovery),
+    * (2) rename staging dir in, (3) delete the bak. Every run first
+    * HEALS interrupted swaps via [[healBucketSwaps]] — a bak with no
+    * live dir is restored (crash between 1 and 2); a bak beside a live
+    * dir is stale and deleted (crash between 2 and 3). No step ever
+    * leaves the only copy of a bucket in a directory a re-run
+    * overwrites.
+    *
+    * CONCURRENCY CONTRACT (single writer, quiesced readers): between
+    * steps 1 and 2 the bucket is briefly ABSENT from the live listing —
+    * a reader scanning exactly then sees the table short one bucket,
+    * and a crash in that window leaves it short until the next
+    * [[healBucketSwaps]]/upsert runs. Run upserts from one writer with
+    * readers drained, or have readers call [[healBucketSwaps]] before a
+    * scan that must be complete (the Iceberg-with-runtime equivalent
+    * would get this from snapshot isolation; this layout trades that
+    * for zero dependencies).
     *
     * @return number of rows in the rewritten buckets
     */
@@ -226,26 +273,25 @@ object Materialize {
     import spark.implicits._
     require(keyCols.contains("conv_id"),
       "keyCols must include conv_id (the bucketing key) for sound bucket pruning")
+    requireLayout(spark, outDir, LayoutBucketed, "upsertColumns")
+    val edgesPath = s"$outDir/edges"
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // backstop for pre-layout-field tables: a batch_id= dir under
+    // edges/ means the streaming layout — renaming its children would
+    // break partition discovery for every subsequent read
+    val edgesDir = new org.apache.hadoop.fs.Path(edgesPath)
+    if (fs.exists(edgesDir)) {
+      require(!fs.listStatus(edgesDir).exists(_.getPath.getName.startsWith("batch_id=")),
+        s"upsertColumns pointed at a batched-layout table ($edgesPath contains batch_id= dirs)")
+    }
     // the table's RECORDED bucket count wins over the parameter — an
     // upsert bucketing with a different modulus would prune the wrong
     // partitions and silently no-op the updates
     val buckets = tableNumBuckets(spark, outDir).getOrElse(numBuckets)
-    val edgesPath = s"$outDir/edges"
-    val fs = new org.apache.hadoop.fs.Path(outDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
     // heal interrupted swaps from any previous run BEFORE reading
-    val edgesDir = new org.apache.hadoop.fs.Path(edgesPath)
-    if (fs.exists(edgesDir)) {
-      fs.listStatus(edgesDir).foreach { st =>
-        val name = st.getPath.getName
-        if (name.startsWith("_bak_")) {
-          val live = new org.apache.hadoop.fs.Path(edgesDir, name.stripPrefix("_bak_"))
-          if (!fs.exists(live)) fs.rename(st.getPath, live)
-          else fs.delete(st.getPath, true)
-        }
-      }
-    }
+    healBucketSwaps(spark, outDir)
 
     val upd = withBucket(updates, buckets)
     val dupKeys = upd
@@ -292,6 +338,34 @@ object Materialize {
     val total = counters.agg(sum(col("rows"))).head().getLong(0)
     counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
     total
+  }
+
+  /** Repair step for interrupted [[upsertColumns]] bucket swaps —
+    * callable standalone by readers/stats before a scan that must see
+    * every bucket (see the concurrency contract on upsertColumns). A
+    * `_bak_<dir>` with no live sibling is restored (crash between
+    * move-aside and move-in); a bak beside a live dir is a stale copy
+    * and is deleted. Idempotent.
+    *
+    * @return number of bak dirs resolved (restored + deleted)
+    */
+  def healBucketSwaps(spark: SparkSession, outDir: String): Int = {
+    val edgesDir = new org.apache.hadoop.fs.Path(s"$outDir/edges")
+    val fs = edgesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(edgesDir)) 0
+    else {
+      var healed = 0
+      fs.listStatus(edgesDir).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_bak_")) {
+          val live = new org.apache.hadoop.fs.Path(edgesDir, name.stripPrefix("_bak_"))
+          if (!fs.exists(live)) fs.rename(st.getPath, live)
+          else fs.delete(st.getPath, true)
+          healed += 1
+        }
+      }
+      healed
+    }
   }
 
   /** S10: CSV sink for case-study outputs
@@ -342,6 +416,7 @@ object Materialize {
     * /root/reference/examples/saveToNeo4j.jl:52).
     */
   def stats(spark: SparkSession, outDir: String): (Long, Long) = {
+    healBucketSwaps(spark, outDir) // counters must see every bucket
     val v = spark.read.parquet(s"$outDir/vertices").count()
     val e = spark.read.parquet(s"$outDir/edges").count()
     (v, e)

@@ -10,10 +10,12 @@ import graft.util.Hashing
   * feature extraction.
   *
   * The Spark-side mechanics (schema, partition-size control, batch
-  * shape, deterministic outputs) are real and tested; the codec itself
-  * is STUBBED (this container ships no image/audio libraries) behind
-  * `StubDecoder` — swap in a real decoder (JNI/javacv) without touching
-  * the pipeline. In PySpark the equivalent surface is
+  * shape, deterministic outputs) are real and tested. Codecs: **PNG is
+  * REAL** (JDK `javax.imageio` — encode in the synthetic corpus, decode
+  * + pixel-derived features in extraction; no external jar);
+  * audio/video remain STUBBED behind `StubDecoder` (this container
+  * ships no media libraries) — swap in a real decoder (JNI/javacv)
+  * without touching the pipeline. In PySpark the equivalent surface is
   * `mapInPandas`; in Scala the per-partition batched iterator below is
   * the same execution shape (one decoder init per partition, vectorized
   * batches, bounded memory).
@@ -33,11 +35,11 @@ object BinaryOps {
 
   val FeatureDim = 16
 
-  /** STUB decoder: a real implementation would decode the codec and
-    * compute content features. The stub derives a deterministic
-    * feature vector from payload bytes so tests can assert exact
-    * values end-to-end. Marked intentionally — do NOT ship as a real
-    * decoder.
+  /** STUB decoder (audio/video only — PNG uses [[PngCodec]]): a real
+    * implementation would decode the codec and compute content
+    * features. The stub derives a deterministic feature vector from
+    * payload bytes so tests can assert exact values end-to-end. Marked
+    * intentionally — do NOT ship as a real decoder.
     */
   object StubDecoder {
     def decodeAndFeaturize(payload: Array[Byte]): Array[Float] = {
@@ -51,6 +53,77 @@ object BinaryOps {
     }
   }
 
+  /** REAL PNG codec on the JDK's ImageIO — no external jar. Encode is
+    * used by the synthetic corpus; decode extracts pixel-derived
+    * features: 12 quadrant-mean RGB channels (normalized to [0,1]),
+    * global mean luminance (Rec.601), and width/height scaled by 256.
+    * ImageIO's PNG writer emits no timestamps/ancillary chunks for a
+    * TYPE_INT_RGB image, so encode is byte-deterministic.
+    */
+  object PngCodec {
+    def encode(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y) & 0xffffff); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** None when the payload is not decodable as an image. */
+    def decodeAndFeaturize(payload: Array[Byte]): Option[Array[Float]] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = Array.ofDim[Double](4, 3)
+        val counts = new Array[Long](4)
+        var lum = 0.0
+        var y = 0
+        while (y < h) {
+          val qy = if (y * 2 >= h) 1 else 0
+          var x = 0
+          while (x < w) {
+            val q = qy * 2 + (if (x * 2 >= w) 1 else 0)
+            val p = img.getRGB(x, y)
+            val r = (p >> 16) & 0xff
+            val g = (p >> 8) & 0xff
+            val b = p & 0xff
+            sums(q)(0) += r; sums(q)(1) += g; sums(q)(2) += b
+            counts(q) += 1
+            lum += 0.299 * r + 0.587 * g + 0.114 * b
+            x += 1
+          }
+          y += 1
+        }
+        val out = new Array[Float](FeatureDim)
+        var q = 0
+        while (q < 4) {
+          var c = 0
+          while (c < 3) {
+            out(q * 3 + c) =
+              if (counts(q) == 0) 0f else (sums(q)(c) / (255.0 * counts(q))).toFloat
+            c += 1
+          }
+          q += 1
+        }
+        out(12) = (lum / (255.0 * w * h)).toFloat
+        out(13) = w / 256.0f
+        out(14) = h / 256.0f
+        out(15) = 1.0f // real-decode marker (stub features never set it)
+        Some(out)
+      }
+    }
+  }
+
   def checksum64(payload: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -58,15 +131,22 @@ object BinaryOps {
     h
   }
 
-  /** Deterministic synthetic media corpus (payload bytes are a pure
-    * function of media_id) — the fixture for the plumbing tests.
+  /** Deterministic synthetic media corpus (payloads are a pure function
+    * of media_id) — the fixture for the plumbing tests. image/png rows
+    * carry a REAL 16x16 PNG (pixel colors derived from the id);
+    * audio/video rows carry opaque stub bytes.
     */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPer: Int = 1024): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
-      val payload = Array.tabulate(bytesPer)(i => Hashing.mix2(id, i.toLong).toByte)
       val tpe = Seq("image/png", "audio/wav", "video/mp4")(Hashing.toRange(Hashing.mix2(id, 99L), 3))
-      MediaRow(id, payload, MediaMeta(tpe, 64, 64, 1000L))
+      if (tpe == "image/png") {
+        val png = PngCodec.encode(16, 16, (x, y) => Hashing.mix3(id, x.toLong, y.toLong).toInt)
+        MediaRow(id, png, MediaMeta(tpe, 16, 16, 0L))
+      } else {
+        val payload = Array.tabulate(bytesPer)(i => Hashing.mix2(id, i.toLong).toByte)
+        MediaRow(id, payload, MediaMeta(tpe, 64, 64, 1000L))
+      }
     }
   }
 
@@ -80,9 +160,16 @@ object BinaryOps {
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      // real impl: val codec = HeavyCodec.init()  (once per partition)
+      // per-partition decoder init slot (ImageIO is stateless/static;
+      // a JNI codec for audio/video would initialize here, once)
       it.map { row =>
-        val feats = StubDecoder.decodeAndFeaturize(row.payload)
+        val feats =
+          if (row.meta.mediaType == "image/png")
+            // REAL decode; non-PNG bytes under a png label fall back to
+            // the stub instead of failing the batch
+            PngCodec.decodeAndFeaturize(row.payload)
+              .getOrElse(StubDecoder.decodeAndFeaturize(row.payload))
+          else StubDecoder.decodeAndFeaturize(row.payload)
         MediaFeatures(row.media_id, row.payload.length, checksum64(row.payload), feats)
       }
     }

@@ -18,8 +18,25 @@ object Stats {
     * mode per string column; count + countDistinct. Exact `percentile`
     * (not approx) for oracle parity; swap to `percentile_approx` at
     * 10^12-row scale with documented epsilon.
+    *
+    * Fidelity tail of the reference profile:
+    *  - `provenanceCol` — countDistinct of the provenance key as
+    *    `n_sources` (the reference's `num_files_involved`,
+    *    /root/reference/src/DataPreprocessing.jl:203-205,222-223)
+    *  - `centroidCols` — per-group mean of each coordinate column as
+    *    `centroid_<c>` (the reference's segment centroid,
+    *    /root/reference/src/DataPreprocessing.jl:207-214)
+    * Both are extra aggregates in the SAME single groupBy pass — no
+    * additional shuffle.
     */
-  def profile(df: DataFrame, groupCols: Seq[String], numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+  def profile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      numCols: Seq[String],
+      strCols: Seq[String],
+      provenanceCol: Option[String] = None,
+      centroidCols: Seq[String] = Nil
+  ): DataFrame = {
     val numAggs = numCols.flatMap { c =>
       Seq(
         round(avg(col(c)), 6).as(s"${c}_mean"),
@@ -28,7 +45,8 @@ object Stats {
         round(min(col(c)), 6).as(s"${c}_min"),
         round(max(col(c)), 6).as(s"${c}_max")
       )
-    }
+    } ++ provenanceCol.map(p => countDistinct(col(p)).as("n_sources")).toSeq ++
+      centroidCols.map(c => round(avg(col(c)), 6).as(s"centroid_$c"))
     val cntAggs = Seq(count(lit(1)).as("n_rows"))
     val base = df.groupBy(groupCols.map(col): _*).agg((numAggs ++ cntAggs).head, (numAggs ++ cntAggs).tail: _*)
     // deterministic mode per string col: max count, tie-break smallest

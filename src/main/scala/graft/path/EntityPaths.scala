@@ -1,19 +1,29 @@
 package graft.path
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Graph traversal over the canonical entity graph — graft of the
   * reference's segment-path BFS
   * (/root/reference/src/PathFinder.jl:92-148): adjacency from the
-  * edge table, BFS shortest path between two entities.
+  * edge table, BFS distances + parent pointers, shortest-path
+  * reconstruction.
   *
-  * Two implementations with the same contract:
+  * Two implementations with the same contract (dispatch mirrors
+  * [[graft.canon.ConnectedComponents.run]]):
   *   - driver-local BFS for small entity graphs (the reference's own
-  *     regime — segments << records; legitimate and exact)
+  *     regime — segments << records; it collects the whole segment
+  *     graph at PathFinder.jl:92; legitimate and exact). A limit-probe
+  *     pays at most `driverLocalThreshold + 1` edge rows to decide.
   *   - iterative frontier-join BFS in DataFrames for entity graphs
-  *     that don't fit a driver (10^8+ entities), checkpoint-friendly
+  *     that don't fit a driver (10^8+ entities), one join + anti-join
+  *     per level, localCheckpointed to truncate lineage.
+  *
+  * Determinism: both paths emit the SAME parent pointers — parent(v) =
+  * the smallest neighbor id among v's distance-(d-1) predecessors — so
+  * reconstructed paths are unique and cross-engine-checkable (the
+  * q_bfs_path DuckDB oracle replays exactly this tie-break).
   */
 object EntityPaths {
 
@@ -25,62 +35,167 @@ object EntityPaths {
       .where(col("a") =!= col("b")) // after the union: both orientations drop self-loops
       .distinct()
 
-  /** Driver-local BFS; returns the path (list of entity ids) or None. */
+  /** Driver-local BFS distances + min-id parents over a collected edge
+    * list. parent(from) = from.
+    */
+  private def bfsLocal(edges: Array[(Long, Long)], from: Long, maxDepth: Int): Array[(Long, Int, Long)] = {
+    val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
+    def add(a: Long, b: Long): Unit =
+      if (a != b) adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+    for ((a, b) <- edges) { add(a, b); add(b, a) }
+    val dist = scala.collection.mutable.LongMap.empty[Int]
+    dist(from) = 0
+    var frontier = Array(from)
+    var d = 0
+    while (frontier.nonEmpty && d < maxDepth) {
+      d += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      for (u <- frontier; v <- adj.getOrElse(u, Nil) if !dist.contains(v)) {
+        dist(v) = d
+        next += v
+      }
+      frontier = next.toArray
+    }
+    dist.iterator.map { case (v, dv) =>
+      val parent =
+        if (v == from) from
+        else adj(v).iterator.filter(u => dist.getOrElse(u, Int.MaxValue) == dv - 1).min
+      (v, dv, parent)
+    }.toArray
+  }
+
+  /** Driver-local BFS; returns the (deterministic min-parent) path as a
+    * list of entity ids, or None if unreachable.
+    */
   def shortestPathLocal(spark: SparkSession, edges: DataFrame, from: Long, to: Long): Option[Seq[Long]] = {
     import spark.implicits._
     if (from == to) return Some(Seq(from))
-    val adj = adjacency(edges).as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    val queue = scala.collection.mutable.Queue(from)
-    parent(from) = from
-    while (queue.nonEmpty && !parent.contains(to)) {
-      val u = queue.dequeue()
-      for (v <- adj.getOrElse(u, Array.empty[Long]) if !parent.contains(v)) {
-        parent(v) = u
-        queue += v
-      }
-    }
-    if (!parent.contains(to)) None
-    else {
-      val path = scala.collection.mutable.ListBuffer(to)
-      while (path.head != from) path.prepend(parent(path.head))
-      Some(path.toSeq)
-    }
+    val collected = adjacency(edges).as[(Long, Long)].collect()
+    val rows = bfsLocal(collected, from, Int.MaxValue)
+    reconstruct(rows.map { case (id, d, p) => id -> (d, p) }.toMap, from, to)
   }
 
-  /** Distributed BFS: iterative frontier expansion via join; returns
-    * (id, dist, parent) for every reached node up to maxDepth. Each
-    * round is one broadcast-or-shuffle join + anti-join; frontiers are
-    * localCheckpointed to truncate lineage (same pattern as CC).
+  private def reconstruct(byId: Map[Long, (Int, Long)], from: Long, to: Long): Option[Seq[Long]] =
+    byId.get(to).map { _ =>
+      val path = scala.collection.mutable.ListBuffer(to)
+      while (path.head != from) path.prepend(byId(path.head)._2)
+      path.toSeq
+    }
+
+  /** BFS from `from`: returns (id, dist, parent) for every node reached
+    * within maxDepth, parent = min neighbor id at dist-1 (parent(from) =
+    * from). Dispatch: graphs whose edge table fits the limit-probe run
+    * union-find-style on the driver (one collect — the reference's own
+    * tiny-segment-graph regime, ~20 fixed Spark jobs saved); larger
+    * graphs run the iterative frontier-join loop, one shuffle join +
+    * anti-join per level, each level localCheckpointed.
     */
   def bfsDistances(
       spark: SparkSession,
       edges: DataFrame,
       from: Long,
-      maxDepth: Int = 20
+      maxDepth: Int = 20,
+      driverLocalThreshold: Long = 1000000L
   ): DataFrame = {
     import spark.implicits._
     val adj = adjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    var visited = Seq((from, 0)).toDF("id", "dist").localCheckpoint(true)
-    var frontier = visited
+    try {
+      if (driverLocalThreshold > 0) {
+        // limit-probe: only pay a full scan when clearly large (same
+        // pattern as ConnectedComponents.run — executeTake stops early)
+        val sample = adj.limit((driverLocalThreshold + 1).toInt).as[(Long, Long)].collect()
+        if (sample.length <= driverLocalThreshold) {
+          return spark.createDataset(bfsLocal(sample, from, maxDepth).toSeq).toDF("id", "dist", "parent")
+        }
+      }
+      bfsDistributed(spark, adj, from, maxDepth)
+    } finally adj.unpersist()
+  }
+
+  private def bfsDistributed(spark: SparkSession, adj: DataFrame, from: Long, maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    var visited = Seq((from, 0, from)).toDF("id", "dist", "parent").localCheckpoint(true)
+    var frontier = visited.select($"id")
     var depth = 0
     var done = false
     while (!done && depth < maxDepth) {
       depth += 1
+      // every frontier node is at dist-1, so min(a) over the join IS the
+      // min distance-(d-1) predecessor — the deterministic parent rule
       val next = frontier
         .join(adj, frontier("id") === adj("a"))
-        .select(adj("b").as("id"))
-        .distinct()
-        .join(visited, Seq("id"), "left_anti")
-        .withColumn("dist", lit(depth))
+        .select(adj("b").as("id"), adj("a").as("parent"))
+        .join(visited.select($"id"), Seq("id"), "left_anti")
+        .groupBy($"id")
+        .agg(min($"parent").as("parent"))
+        .select($"id", lit(depth).as("dist"), $"parent")
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
         visited = visited.union(next).localCheckpoint(true)
-        frontier = next
+        frontier = next.select($"id")
       }
     }
-    adj.unpersist()
     visited
+  }
+
+  /** Shortest path from `from` to `to` (same dispatch as
+    * [[bfsDistances]]); reconstruction walks the parent pointers —
+    * at most maxDepth tiny lookups against the checkpointed BFS
+    * output, never a full collect of the reached set.
+    * Reference: /root/reference/src/PathFinder.jl:123-136.
+    */
+  def shortestPath(
+      spark: SparkSession,
+      edges: DataFrame,
+      from: Long,
+      to: Long,
+      maxDepth: Int = 20,
+      driverLocalThreshold: Long = 1000000L
+  ): Option[Seq[Long]] = {
+    if (from == to) return Some(Seq(from))
+    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (bfs.where(col("id") === to).isEmpty) None
+      else {
+        val path = scala.collection.mutable.ListBuffer(to)
+        while (path.head != from) {
+          val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
+          path.prepend(p)
+        }
+        Some(path.toSeq)
+      }
+    } finally bfs.unpersist()
+  }
+
+  /** Deterministic demo path: from `from` to the farthest reached node
+    * (max dist, min id among ties), as (step, id) rows — step 0 = from.
+    * The walk is one tiny lookup per hop (path length <= maxDepth) over
+    * the persisted BFS output; the path itself is driver-sized by
+    * construction (<= maxDepth + 1 rows).
+    */
+  def pathToFarthest(
+      spark: SparkSession,
+      edges: DataFrame,
+      from: Long,
+      maxDepth: Int = 20,
+      driverLocalThreshold: Long = 1000000L
+  ): DataFrame = {
+    import spark.implicits._
+    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val target: Row = bfs.orderBy(col("dist").desc, col("id").asc).limit(1).head()
+      val tid = target.getLong(0)
+      val tdist = target.getInt(1)
+      val path = scala.collection.mutable.ListBuffer(tid)
+      while (path.head != from) {
+        val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
+        path.prepend(p)
+      }
+      assert(path.length == tdist + 1, s"parent chain length ${path.length} != dist+1 ${tdist + 1}")
+      spark.createDataset(path.toSeq.zipWithIndex.map { case (id, step) => (step, id) }).toDF("step", "id")
+    } finally bfs.unpersist()
   }
 }

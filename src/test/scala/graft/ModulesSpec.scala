@@ -27,8 +27,39 @@ class ModulesSpec extends SparkSpec {
     assert(EntityPaths.shortestPathLocal(spark, e, 1L, 4L).contains(Seq(1L, 2L, 3L, 4L)))
     assert(EntityPaths.shortestPathLocal(spark, e, 1L, 6L).isEmpty)
     assert(EntityPaths.shortestPathLocal(spark, e, 5L, 5L).contains(Seq(5L)))
-    val dist = EntityPaths.bfsDistances(spark, e, 1L).as[(Long, Int)].collect().toMap
-    assert(dist == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // driver-local dispatch (default threshold) vs forced-distributed
+    // (threshold 0) must agree on (id, dist, parent) exactly
+    val local = EntityPaths.bfsDistances(spark, e, 1L)
+      .as[(Long, Int, Long)].collect().toSet
+    val dist = EntityPaths.bfsDistances(spark, e, 1L, driverLocalThreshold = 0L)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(local == Set((1L, 0, 1L), (2L, 1, 1L), (3L, 2, 2L), (4L, 3, 3L)))
+    assert(dist == local)
+  }
+
+  test("BFS parent tie-break is min predecessor id; shortestPath dispatches both regimes") {
+    import spark.implicits._
+    // diamond: 1->{2,3}->4 — node 4 has two dist-1 predecessors; the
+    // deterministic parent is min(2,3) = 2 on both execution paths
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("subj", "obj")
+    for (thr <- Seq(1000000L, 0L)) {
+      val rows = EntityPaths.bfsDistances(spark, e, 1L, driverLocalThreshold = thr)
+        .as[(Long, Int, Long)].collect().map { case (id, d, p) => id -> ((d, p)) }.toMap
+      assert(rows(4L) == (2, 2L), s"threshold $thr")
+      assert(EntityPaths.shortestPath(spark, e, 1L, 4L, driverLocalThreshold = thr)
+        .contains(Seq(1L, 2L, 4L)), s"threshold $thr")
+    }
+    assert(EntityPaths.shortestPath(spark, e, 1L, 99L).isEmpty)
+  }
+
+  test("pathToFarthest: deterministic target + parent walk, both regimes") {
+    import spark.implicits._
+    val e = edgesFixture
+    for (thr <- Seq(1000000L, 0L)) {
+      val p = EntityPaths.pathToFarthest(spark, e, 1L, driverLocalThreshold = thr)
+        .as[(Int, Long)].collect().sortBy(_._1).toSeq
+      assert(p == Seq((0, 1L), (1, 2L), (2, 3L), (3, 4L)), s"threshold $thr")
+    }
   }
 
   test("entity co-occurrence counts distinct conversations") {
@@ -62,6 +93,41 @@ class ModulesSpec extends SparkSpec {
     assert(tr == Set(("works_at", "uses", 1L), ("uses", "works_at", 1L), ("founded", "founded", 0L)).filter(_._3 > 0))
   }
 
+  test("materialize: incompatible edge layouts fail fast; heal is standalone") {
+    import spark.implicits._
+    val edges = Seq(("c1", 1L, 2L), ("c2", 2L, 3L)).toDF("conv_id", "src", "dst")
+
+    val batched = java.nio.file.Files.createTempDirectory("graft_layout_b").toString
+    Materialize.appendEdgesBatch(spark, edges, batched, batchId = 0L, numBuckets = 2)
+    assert(Materialize.tableLayout(spark, batched).contains(Materialize.LayoutBatched))
+    intercept[IllegalArgumentException] {
+      Materialize.writeEdges(spark, edges, batched, numBuckets = 2)
+    }
+    intercept[IllegalArgumentException] {
+      Materialize.upsertColumns(spark, batched,
+        edges.select($"conv_id", $"src", lit("x").as("pred")),
+        keyCols = Seq("conv_id", "src"), updateCols = Seq("pred"), numBuckets = 2)
+    }
+
+    val bucketed = java.nio.file.Files.createTempDirectory("graft_layout_k").toString
+    Materialize.writeEdges(spark, edges, bucketed, numBuckets = 2)
+    assert(Materialize.tableLayout(spark, bucketed).contains(Materialize.LayoutBucketed))
+    intercept[IllegalArgumentException] {
+      Materialize.appendEdgesBatch(spark, edges, bucketed, batchId = 1L, numBuckets = 2)
+    }
+
+    // simulate a crash between move-aside and move-in: the bucket is
+    // hidden behind _bak_; a standalone heal restores it for readers
+    val edgesDir = new org.apache.hadoop.fs.Path(s"$bucketed/edges")
+    val fs = edgesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDir = fs.listStatus(edgesDir).map(_.getPath)
+      .filter(_.getName.startsWith(Materialize.BucketCol + "=")).head
+    fs.rename(bucketDir, new org.apache.hadoop.fs.Path(edgesDir, "_bak_" + bucketDir.getName))
+    assert(Materialize.healBucketSwaps(spark, bucketed) == 1)
+    assert(spark.read.parquet(s"$bucketed/edges").count() == 2)
+    assert(Materialize.healBucketSwaps(spark, bucketed) == 0) // idempotent
+  }
+
   test("multimodal: batched feature extraction is deterministic with real plumbing") {
     import spark.implicits._
     val media = BinaryOps.syntheticMedia(spark, 40, 512)
@@ -79,14 +145,49 @@ class ModulesSpec extends SparkSpec {
     val stats = BinaryOps.featureStatsByType(media, feats)
     assert(stats.count() == 3) // three media types
     assert(stats.agg(sum($"n_media")).head().getLong(0) == 40)
+
+    // image rows went through the REAL ImageIO decode: marker feature
+    // set, quadrant means are genuine [0,1] pixel averages, and the
+    // recorded dims match the encoded 16x16
+    val imageIds = media.collect().filter(_.meta.mediaType == "image/png").map(_.media_id).toSet
+    assert(imageIds.nonEmpty)
+    val imgFeats = a.filter(f => imageIds.contains(f._1)).map(_._3)
+    assert(imgFeats.forall(f => f(15) == 1.0f && f(13) == 16 / 256.0f && f(14) == 16 / 256.0f))
+    assert(imgFeats.forall(f => (0 until 12).forall(i => f(i) >= 0f && f(i) <= 1f)))
+  }
+
+  test("multimodal: PNG decode extracts exact pixel features (solid color)") {
+    // solid red 4x4: every quadrant mean = (1, 0, 0); luminance 0.299
+    val png = BinaryOps.PngCodec.encode(4, 4, (_, _) => 0xff0000)
+    val f = BinaryOps.PngCodec.decodeAndFeaturize(png).get
+    for (q <- 0 until 4) {
+      assert(f(q * 3) == 1.0f)
+      assert(f(q * 3 + 1) == 0.0f && f(q * 3 + 2) == 0.0f)
+    }
+    assert(math.abs(f(12) - 0.299f) < 1e-6)
+    assert(f(13) == 4 / 256.0f && f(14) == 4 / 256.0f && f(15) == 1.0f)
+    // quadrant separation: top-left white, rest black on 2x2
+    val png2 = BinaryOps.PngCodec.encode(2, 2, (x, y) => if (x == 0 && y == 0) 0xffffff else 0)
+    val f2 = BinaryOps.PngCodec.decodeAndFeaturize(png2).get
+    assert(f2(0) == 1.0f && f2(1) == 1.0f && f2(2) == 1.0f)
+    assert((3 until 12).forall(i => f2(i) == 0.0f))
+    // garbage bytes are not an image
+    assert(BinaryOps.PngCodec.decodeAndFeaturize(Array[Byte](1, 2, 3, 4)).isEmpty)
   }
 
   test("multimodal: resize rewrites payload+meta; frame sampling strides and caps") {
-    val media = BinaryOps.syntheticMedia(spark, 30, 512) // 64x64, 1000ms each
+    val media = BinaryOps.syntheticMedia(spark, 30, 512) // a/v: 64x64 512B; png: 16x16
+    val srcLens = media.collect().map(r => r.media_id -> (r.payload.length, r.meta)).toMap
     val resized = BinaryOps.resize(spark, media, 32, 32).collect()
     assert(resized.length == 30)
     assert(resized.forall(r => r.meta.width == 32 && r.meta.height == 32))
-    assert(resized.forall(r => r.payload.length == 128)) // area ratio 1/4 of 512
+    // stub resample scales payload by the area ratio: 1/4 for the 64x64
+    // a/v rows (512 -> 128), 4x for the 16x16 png rows
+    assert(resized.forall { r =>
+      val (srcLen, srcMeta) = srcLens(r.media_id)
+      val ratio = (32L * 32).toDouble / (srcMeta.width.toLong * srcMeta.height)
+      r.payload.length == math.max(1, (srcLen * ratio).toInt)
+    })
     // determinism under different partitioning
     val again = BinaryOps.resize(spark, media.repartition(5), 32, 32)
       .collect().sortBy(_.media_id).map(_.payload.toSeq)
