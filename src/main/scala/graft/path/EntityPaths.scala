@@ -27,22 +27,29 @@ import org.apache.spark.storage.StorageLevel
   */
 object EntityPaths {
 
-  /** Distinct undirected adjacency from a (subj, obj) edge table. */
-  def adjacency(edges: DataFrame): DataFrame =
-    edges
-      .select(col("subj").cast("long").as("a"), col("obj").cast("long").as("b"))
-      .union(edges.select(col("obj").cast("long").as("a"), col("subj").cast("long").as("b")))
-      .where(col("a") =!= col("b")) // after the union: both orientations drop self-loops
-      .distinct()
+  /** Distinct adjacency from a (subj, obj) edge table — undirected by
+    * default (both directions), directed when the edge table already
+    * encodes direction (e.g. the oriented 2N-node segment graph,
+    * [[OrientedPaths]]).
+    */
+  def adjacency(edges: DataFrame, directed: Boolean = false): DataFrame = {
+    val fwd = edges.select(col("subj").cast("long").as("a"), col("obj").cast("long").as("b"))
+    val all =
+      if (directed) fwd
+      else fwd.union(edges.select(col("obj").cast("long").as("a"), col("subj").cast("long").as("b")))
+    all.where(col("a") =!= col("b")).distinct() // drop self-loops
+  }
 
-  /** Driver-local BFS distances + min-id parents over a collected edge
-    * list. parent(from) = from.
+  /** Driver-local BFS distances + min-id parents over a collected
+    * (already direction-resolved) edge list. parent(from) = from.
     */
   private def bfsLocal(edges: Array[(Long, Long)], from: Long, maxDepth: Int): Array[(Long, Int, Long)] = {
     val adj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
-    def add(a: Long, b: Long): Unit =
-      if (a != b) adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
-    for ((a, b) <- edges) { add(a, b); add(b, a) }
+    val radj = scala.collection.mutable.LongMap.empty[scala.collection.mutable.ArrayBuffer[Long]]
+    for ((a, b) <- edges if a != b) {
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      radj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
     val dist = scala.collection.mutable.LongMap.empty[Int]
     dist(from) = 0
     var frontier = Array(from)
@@ -59,7 +66,7 @@ object EntityPaths {
     dist.iterator.map { case (v, dv) =>
       val parent =
         if (v == from) from
-        else adj(v).iterator.filter(u => dist.getOrElse(u, Int.MaxValue) == dv - 1).min
+        else radj(v).iterator.filter(u => dist.getOrElse(u, Int.MaxValue) == dv - 1).min
       (v, dv, parent)
     }.toArray
   }
@@ -67,10 +74,16 @@ object EntityPaths {
   /** Driver-local BFS; returns the (deterministic min-parent) path as a
     * list of entity ids, or None if unreachable.
     */
-  def shortestPathLocal(spark: SparkSession, edges: DataFrame, from: Long, to: Long): Option[Seq[Long]] = {
+  def shortestPathLocal(
+      spark: SparkSession,
+      edges: DataFrame,
+      from: Long,
+      to: Long,
+      directed: Boolean = false
+  ): Option[Seq[Long]] = {
     import spark.implicits._
     if (from == to) return Some(Seq(from))
-    val collected = adjacency(edges).as[(Long, Long)].collect()
+    val collected = adjacency(edges, directed).as[(Long, Long)].collect()
     val rows = bfsLocal(collected, from, Int.MaxValue)
     reconstruct(rows.map { case (id, d, p) => id -> (d, p) }.toMap, from, to)
   }
@@ -95,10 +108,11 @@ object EntityPaths {
       edges: DataFrame,
       from: Long,
       maxDepth: Int = 20,
-      driverLocalThreshold: Long = 1000000L
+      driverLocalThreshold: Long = 1000000L,
+      directed: Boolean = false
   ): DataFrame = {
     import spark.implicits._
-    val adj = adjacency(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val adj = adjacency(edges, directed).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (driverLocalThreshold > 0) {
         // limit-probe: only pay a full scan when clearly large (same
@@ -151,10 +165,11 @@ object EntityPaths {
       from: Long,
       to: Long,
       maxDepth: Int = 20,
-      driverLocalThreshold: Long = 1000000L
+      driverLocalThreshold: Long = 1000000L,
+      directed: Boolean = false
   ): Option[Seq[Long]] = {
     if (from == to) return Some(Seq(from))
-    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold)
+    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold, directed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (bfs.where(col("id") === to).isEmpty) None

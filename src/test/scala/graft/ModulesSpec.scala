@@ -93,6 +93,56 @@ class ModulesSpec extends SparkSpec {
     assert(tr == Set(("works_at", "uses", 1L), ("uses", "works_at", 1L), ("founded", "founded", 0L)).filter(_._3 > 0))
   }
 
+  test("oriented paths: 4 endpoint tests match brute force; reversal-requiring path found") {
+    import spark.implicits._
+    import graft.path.OrientedPaths
+    // zig-zag chain: A forward ends near B's END (so B must be traversed
+    // REVERSED), B's start is near C's START (C forward) — ~11m gaps, 50m tol
+    val segs = Seq(
+      (1L, 0.0000, 0.0, 0.0100, 0.0), // A
+      (2L, 0.0200, 0.0, 0.0101, 0.0), // B
+      (3L, 0.0201, 0.0, 0.0300, 0.0) // C
+    )
+    val df = segs.toDF("seg_id", "slat", "slon", "elat", "elon")
+    val edges = OrientedPaths
+      .orientedEdges(df, "seg_id", "slat", "slon", "elat", "elon", tolM = 50.0)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+
+    // brute-force oracle: all 4 head/tail tests per ordered pair
+    def hav(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+      val dLat = math.toRadians(lat2 - lat1); val dLon = math.toRadians(lon2 - lon1)
+      val a = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * math.pow(math.sin(dLon / 2), 2)
+      2 * 6371000.0 * math.atan2(math.sqrt(a), math.sqrt(1 - a))
+    }
+    val expected = (for {
+      (i, is1, io1, ie1, ie2) <- segs
+      (j, js1, jo1, je1, je2) <- segs if i != j
+      oi <- Seq(0, 1); oj <- Seq(0, 1)
+      (hLat, hLon) = if (oi == 0) (ie1, ie2) else (is1, io1)
+      (tLat, tLon) = if (oj == 0) (js1, jo1) else (je1, je2)
+      if hav(hLat, hLon, tLat, tLon) <= 50.0
+    } yield (OrientedPaths.nodeId(i, oi), OrientedPaths.nodeId(j, oj))).toSet
+    assert(edges == expected)
+    assert(edges == Set(
+      (OrientedPaths.nodeId(1, 0), OrientedPaths.nodeId(2, 1)),
+      (OrientedPaths.nodeId(2, 1), OrientedPaths.nodeId(3, 0)),
+      (OrientedPaths.nodeId(2, 0), OrientedPaths.nodeId(1, 1)),
+      (OrientedPaths.nodeId(3, 1), OrientedPaths.nodeId(2, 0))
+    ))
+
+    val full = OrientedPaths.orientedEdges(df, "seg_id", "slat", "slon", "elat", "elon", 50.0)
+    for (thr <- Seq(1000000L, 0L)) {
+      val p = OrientedPaths.shortestOrientedPath(spark, full, 1L, 3L, driverLocalThreshold = thr)
+      assert(p.contains(Seq((1L, 0), (2L, 1), (3L, 0))), s"threshold $thr") // B reversed
+      val back = OrientedPaths.shortestOrientedPath(spark, full, 3L, 1L, driverLocalThreshold = thr)
+      assert(back.contains(Seq((3L, 1), (2L, 0), (1L, 1))), s"threshold $thr")
+    }
+    // orientation-blind traversal would also connect A->C, but the
+    // DIRECTED oriented graph must not offer a forward-only chain
+    assert(!edges.contains((OrientedPaths.nodeId(1, 0), OrientedPaths.nodeId(2, 0))))
+  }
+
   test("materialize: incompatible edge layouts fail fast; heal is standalone") {
     import spark.implicits._
     val edges = Seq(("c1", 1L, 2L), ("c2", 2L, 3L)).toDF("conv_id", "src", "dst")
