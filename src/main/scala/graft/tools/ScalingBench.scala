@@ -29,7 +29,8 @@ import graft.synth.{GenConfig, TranscriptGen}
   */
 object ScalingBench {
 
-  private val ResultsPath = "bench_scaling.jsonl"
+  // override per measurement campaign so rounds don't mix runs
+  private def ResultsPath = sys.env.getOrElse("GRAFT_SCALING_OUT", "bench_scaling.jsonl")
 
   def cfgFor(numConvs: Int): GenConfig = GenConfig(
     seed = 42L,
@@ -80,8 +81,12 @@ object ScalingBench {
         def f(k: String) = raw""""$k":([\d.]+)""".r.findFirstMatchIn(l).get.group(1)
         R(f("cores").toInt, f("turns").toLong, f("secs").toDouble)
       }
-      // keep the best (min secs) run per core count
-      val byCores = rs.groupBy(_.cores).map { case (_, v) => v.minBy(_.secs) }.toSeq.sortBy(_.cores)
+      // MEDIAN run per core count (repetitions absorb ambient box load;
+      // the r2 verdict asked for medians over min)
+      val reps = rs.groupBy(_.cores).map { case (k, v) => k -> v.size }
+      val byCores = rs.groupBy(_.cores)
+        .map { case (_, v) => v.sortBy(_.secs).apply(v.size / 2) }
+        .toSeq.sortBy(_.cores)
       // the north_rule pair is N vs 4N: pick the smallest N with 4N
       // present — the pair inside the box's bandwidth envelope (see
       // the note emitted below); larger rows document the ceiling
@@ -96,9 +101,11 @@ object ScalingBench {
       val md = new StringBuilder
       md.append(s"\n## Measured scaling (run ${java.time.Instant.now()})\n\n")
       md.append(s"KG-construction job (synth -> extract -> link -> CC -> materialize counts), ")
-      md.append(s"identical input (${base.turns} turns), one fresh JVM per core count, local[N] proxy per task protocol:\n\n")
-      md.append("| cores | wall (s) | turns/sec |\n|---|---|---|\n")
-      byCores.foreach(r => md.append(f"| ${r.cores} | ${r.secs}%.2f | ${r.turns / r.secs}%.0f |\n"))
+      md.append(s"identical input (${base.turns} turns), one fresh JVM per run, local[N] proxy per task protocol; ")
+      md.append(s"wall times are MEDIANS over the repetitions per core count:\n\n")
+      md.append("| cores | wall (s, median) | turns/sec | reps |\n|---|---|---|---|\n")
+      byCores.foreach(r =>
+        md.append(f"| ${r.cores} | ${r.secs}%.2f | ${r.turns / r.secs}%.0f | ${reps(r.cores)} |\n"))
       md.append(f"\nN->4N pair: ${base.cores} -> ${top.cores} cores, speedup $speedup%.2fx over $coreRatio%.0fx cores; ")
       md.append(f"**scaling efficiency = $eff%.3f** (target >= 0.8).\n\n")
       md.append("Note: beyond ~8 local threads this single box saturates DRAM bandwidth ")
