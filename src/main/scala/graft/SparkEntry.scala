@@ -226,6 +226,14 @@ object SparkEntry {
         .imputeGroupMedian(eventsWithNulls(s, dir), "event_type", "value_n", "value_imputed")
         .select(col("event_id"), col("value_imputed"))),
 
+    // ---- A6 (string half): per-group deterministic-mode imputation
+    //      with global-mode fallback (the reference fills string columns
+    //      with the per-file mode, DataPreprocessing.jl:113-134)
+    "q_impute_mode" -> ((s, dir) =>
+      Stats
+        .imputeGroupMode(eventsWithNulls(s, dir), "user_id", "etype_n", "etype_imputed")
+        .select(col("event_id"), col("etype_imputed"))),
+
     // ---- A8: hotspot cells (grid quantize + countDistinct sessions)
     "q_hotspot_cells" -> ((s, dir) =>
       Blocks.hotspotCells(read(s, dir, "events"), "user_id", "value", 5.0, 20L)),
@@ -910,6 +918,21 @@ object SparkEntry {
           |  SELECT event_id, event_type,
           |    CASE WHEN value < 1.0 THEN NULL ELSE value END AS value_n
           |  FROM events)""".stripMargin,
+      "q_impute_mode" ->
+        """WITH src AS (
+          |  SELECT event_id, user_id, nullif(event_type, 'error') AS etype_n FROM events),
+          |counted AS (
+          |  SELECT user_id, etype_n AS v, count(*) AS cnt FROM src
+          |  WHERE etype_n IS NOT NULL GROUP BY user_id, etype_n),
+          |grp AS (
+          |  SELECT user_id, v AS grp_mode FROM (
+          |    SELECT user_id, v, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, v ASC) AS rn
+          |    FROM counted) WHERE rn = 1),
+          |gmode AS (
+          |  SELECT etype_n AS glob_mode FROM src WHERE etype_n IS NOT NULL
+          |  GROUP BY etype_n ORDER BY count(*) DESC, etype_n ASC LIMIT 1)
+          |SELECT event_id, coalesce(etype_n, grp_mode, glob_mode) AS etype_imputed
+          |FROM src LEFT JOIN grp USING (user_id) CROSS JOIN gmode""".stripMargin,
       "q_hotspot_cells" ->
         """SELECT cell, count(DISTINCT user_id) AS n_sessions
           |FROM (SELECT user_id, CAST(floor(value / 5.0) AS BIGINT) AS cell FROM events)

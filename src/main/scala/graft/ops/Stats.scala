@@ -108,6 +108,67 @@ object Stats {
       .drop("_gkey", "_grp_med", "_glob_med")
   }
 
+  /** A6 (string half): per-group deterministic MODE imputation with
+    * global-mode fallback — the reference fills string columns with the
+    * per-file mode exactly like numerics get the median
+    * (/root/reference/src/DataPreprocessing.jl:113-134). Mode rule
+    * matches [[profile]]/q_mode_agg: max count over NON-NULL values,
+    * ties to the smallest value. Same plan shape as
+    * [[imputeGroupMedian]]: one groupBy + null-safe join back + one
+    * broadcast global row — no single-partition window.
+    */
+  def imputeGroupMode(df: DataFrame, groupCol: String, valueCol: String, as: String): DataFrame = {
+    val nonNull = df.where(col(valueCol).isNotNull)
+    val counted = nonNull
+      .groupBy(col(groupCol).as("_gkey"), col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col("_gkey")).orderBy(col("_cnt").desc, col("_v").asc)
+    val grpMode = counted
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col("_gkey"), col("_v").as("_grp_mode"))
+    val globMode = nonNull
+      .groupBy(col(valueCol).as("_v"))
+      .agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("_v").asc)
+      .limit(1)
+      .select(col("_v").as("_glob_mode"))
+    df.join(grpMode, col(groupCol) <=> col("_gkey"), "left")
+      .crossJoin(broadcast(globMode))
+      .withColumn(as, coalesce(col(valueCol), col("_grp_mode"), col("_glob_mode")))
+      .drop("_gkey", "_grp_mode", "_glob_mode")
+  }
+
+  /** M5: the reference's whole cleaning pipeline composed
+    * (`process_json_data`, /root/reference/src/DataPreprocessing.jl:165-176):
+    * (M1+M2) drop columns with missing pct > threshold -> (A6) impute
+    * remaining numerics with per-group median and strings with
+    * per-group mode (global fallback each) -> (M3) drop constant-
+    * "unknown" string columns -> (M4) type-directed default backstop.
+    * Column decisions are metadata-driven selects computed from ONE
+    * stats pass each — the per-column work never becomes per-column
+    * jobs over the data.
+    */
+  def cleanPipeline(df: DataFrame, groupCol: String, missingThreshold: Double): DataFrame = {
+    val kept = dropHighMissing(df, missingThreshold)
+    val imputed = kept.schema.fields.foldLeft(kept) { (acc, f) =>
+      if (f.name == groupCol) acc
+      else
+        f.dataType match {
+          case _: NumericType =>
+            imputeGroupMedian(acc, groupCol, f.name, f.name + "_imp")
+              .drop(f.name).withColumnRenamed(f.name + "_imp", f.name)
+          case StringType =>
+            imputeGroupMode(acc, groupCol, f.name, f.name + "_imp")
+              .drop(f.name).withColumnRenamed(f.name + "_imp", f.name)
+          case _ => acc
+        }
+    }
+    val fin = fillDefaults(dropConstantUnknown(imputed))
+    // restore the input's column order for the survivors (M3 may drop)
+    fin.select(kept.columns.filter(fin.columns.contains).map(col): _*)
+  }
+
   /** M1/M2: drop columns whose missing percentage EXCEEDS `threshold`
     * (boundary kept; 100.0 = only fully-missing). Two jobs: one stats
     * pass, one metadata-driven select — never a per-column job. An

@@ -43,6 +43,40 @@ class OperatorContractSpec extends SparkSpec {
     assert(Stats.dropHighMissing(half, 49.0).columns.toSeq == Seq("b"))
   }
 
+  test("imputeGroupMode: per-group mode, global fallback, deterministic ties") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", Some("x")), ("g1", Some("x")), ("g1", Some("y")), ("g1", None),
+      ("g2", None), // group with no non-null values -> global mode
+      ("g3", Some("b")), ("g3", Some("a")), ("g3", Some("b")), ("g3", Some("a")), ("g3", None)
+    ).toDF("g", "v")
+    val out = Stats.imputeGroupMode(df, "g", "v", "v_imp")
+      .groupBy($"g").agg(collect_set($"v_imp").as("vals"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("g1").toSet == Set("x", "y")) // null filled with group mode x
+    // global mode: x/a/b all have 2 occurrences -> smallest value 'a'
+    assert(out("g2") == Seq("a"))
+    assert(out("g3").toSet == Set("a", "b")) // tie a/b -> smallest 'a' fills the null
+  }
+
+  test("cleanPipeline replays the reference process_json_data semantics") {
+    import spark.implicits._
+    // col all_null -> dropped (M1); col mostly_null -> dropped (M2 at 50%);
+    // num gets per-group median imputation; s gets per-group mode; s
+    // constant-'unknown' col dropped (M3); survivors default-backstopped (M4)
+    val df = Seq(
+      ("g1", Some(1.0), Some("x"), None: Option[String], Some("unknown"), None: Option[Double]),
+      ("g1", Some(3.0), Some("x"), None, Some("unknown"), None),
+      ("g1", None, None, Some("only"), Some("unknown"), None),
+      ("g2", Some(10.0), Some("z"), None, Some("unknown"), None)
+    ).toDF("g", "num", "s", "mostly_null", "const_unknown", "all_null")
+    val out = Stats.cleanPipeline(df, "g", 50.0)
+    assert(out.columns.toSeq == Seq("g", "num", "s"))
+    val byG = out.orderBy($"g", $"num").as[(String, Double, String)].collect().toSeq
+    // g1's missing num -> group median of (1,3) = 2.0; g1's missing s -> mode x
+    assert(byG == Seq(("g1", 1.0, "x"), ("g1", 2.0, "x"), ("g1", 3.0, "x"), ("g2", 10.0, "z")))
+  }
+
   test("vec_dot throws on dimension mismatch instead of scoring a prefix") {
     import spark.implicits._
     import graft.functions.VectorExpressions._
