@@ -205,4 +205,47 @@ class PropertySpec extends SparkSpec {
       .toMap
     assert(direct.forall { case (k, v) => salted(k).toLong == v })
   }
+
+  test("explodeRuns: row count == sum of clamped window sizes; every row inside its window") {
+    import spark.implicits._
+    val rnd = new Random(17)
+    val turns = (0 until 8).flatMap { s =>
+      (0 until 5 + rnd.nextInt(20)).map(i => (s.toLong, i * 10L, s * 1000L + i))
+    }.toDF("conv", "ord", "payload")
+    val lens = turns.groupBy($"conv").count().as[(Long, Long)].collect().toMap
+    val runs = (0 until 8).map { s =>
+      val a = 1 + rnd.nextInt(10); val b = a + rnd.nextInt(15)
+      (s.toLong, a, b)
+    }
+    val runsDf = runs.toDF("conv_id", "start_idx", "end_idx")
+    val out = graft.link.SegmentRuns.explodeRuns(turns, runsDf, "conv", Seq("ord"))
+    val expected = runs.map { case (s, a, b) =>
+      val n = lens(s)
+      math.max(0L, math.min(b.toLong, n) - a.toLong + 1L) // clamp to session length
+    }.sum
+    assert(out.count() == expected)
+    assert(out.where($"turn_pos" < $"start_idx" || $"turn_pos" > $"end_idx").isEmpty)
+    // payload integrity: each exploded row's payload matches its position
+    assert(out.where($"payload" =!= $"conv" * 1000L + ($"turn_pos" - 1)).isEmpty)
+  }
+
+  test("oriented edges: reverse-traversal symmetry (i,o)->(j,o') iff (j,!o')->(i,!o)") {
+    import spark.implicits._
+    import graft.path.OrientedPaths
+    val rnd = new Random(23)
+    val segs = (1 to 25).map { i =>
+      def pt() = (rnd.nextDouble() * 0.01, rnd.nextDouble() * 0.01)
+      val (sa, so) = pt(); val (ea, eo) = pt()
+      (i.toLong, sa, so, ea, eo)
+    }
+    val df = segs.toDF("seg_id", "slat", "slon", "elat", "elon")
+    val edges = OrientedPaths
+      .orientedEdges(df, "seg_id", "slat", "slon", "elat", "elon", tolM = 200.0)
+      .select($"src", $"dst").as[(Long, Long)].collect().toSet
+    assert(edges.nonEmpty)
+    // reversing a hop flips both orientations: head(i,o)~tail(j,o')
+    // is the same point pair as head(j,1-o')~tail(i,1-o)
+    def flip(n: Long): Long = if (n % 2 == 0) n + 1 else n - 1
+    assert(edges.forall { case (a, b) => edges.contains((flip(b), flip(a))) })
+  }
 }
