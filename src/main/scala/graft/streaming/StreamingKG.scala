@@ -116,6 +116,28 @@ object StreamingKG {
       )
   }
 
+  /** Streaming exact dedup for the training-data family: keep the first
+    * row per key, suppress duplicates whose event time falls within the
+    * watermark horizon of the first occurrence.
+    * `dropDuplicatesWithinWatermark` bounds dedup state by EVENT TIME —
+    * the streaming-safe contract: an unbounded-history exact dedup is a
+    * batch job over the corpus ([[graft.dedup.Dedup.exact]]); the
+    * streaming form removes the re-deliveries and near-in-time copies
+    * that ingestion pipelines actually produce (at-least-once sources,
+    * retry storms), with state that a 10^12-row stream can afford.
+    * A duplicate arriving LATER than the watermark delay re-emits — by
+    * design; route the output through the batch dedup for the global
+    * guarantee.
+    */
+  def streamingDedupExact(
+      df: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      watermarkDelay: String,
+      keyCols: Seq[String]
+  ): org.apache.spark.sql.DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** End-to-end streaming edge sink: extracted triples land in the
     * batch-idempotent edge layout via foreachBatch +
     * [[graft.graph.Materialize.appendEdgesBatch]] — a micro-batch

@@ -171,4 +171,37 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(got == batch && got.nonEmpty)
   }
+
+  test("streaming exact dedup: within-watermark duplicates suppressed across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val deduped = StreamingKG.streamingDedupExact(
+      input.toDS().toDF("doc_id", "text", "ts"),
+      tsCol = "ts",
+      watermarkDelay = "10 minutes",
+      keyCols = Seq("text")
+    )
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName("stream_dedup")
+      .outputMode("append")
+      .start()
+
+    val t0 = 1704067200000L
+    // batch 1: two copies of "aa" in one batch + a distinct "bb"
+    input.addData((1L, "aa", new Timestamp(t0)), (2L, "aa", new Timestamp(t0 + 1000)),
+      (3L, "bb", new Timestamp(t0 + 2000)))
+    q.processAllAvailable()
+    // batch 2: another "aa" within the watermark horizon -> suppressed;
+    // a new key "cc" -> emitted
+    input.addData((4L, "aa", new Timestamp(t0 + 60000)), (5L, "cc", new Timestamp(t0 + 61000)))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT doc_id, text FROM stream_dedup")
+      .as[(Long, String)].collect().toSet
+    assert(got.map(_._2) == Set("aa", "bb", "cc"))
+    assert(got.count(_._2 == "aa") == 1) // exactly one survivor for the duplicated key
+  }
 }
