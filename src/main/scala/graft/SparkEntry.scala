@@ -93,6 +93,15 @@ object SparkEntry {
       Dedup.jaccardPairsExact(s, docsWithClips(s, dir), "doc_id", "text", 3, 0.6).cache()
     }
 
+  /** Exact cosine pair table (threshold 0.25), shared by q_cosine_pairs
+    * and the approx-precision guard. Same lifecycle as the other memos.
+    */
+  private val cosCache: Memo[DataFrame] = scala.collection.concurrent.TrieMap.empty
+  private def cosinePairTable(s: SparkSession, dir: String): DataFrame =
+    memoized(cosCache, s, dir) {
+      Dedup.cosinePairs(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25).cache()
+    }
+
   /** Materialize the sf-dir KG pipeline (the shared input of the kg_*
     * queries) and return (vertices, edges) counts. Bench calls this
     * BEFORE the per-query loop so the pipeline build is timed as its
@@ -380,9 +389,21 @@ object SparkEntry {
       expected.join(found, Seq("id_a", "id_b"), "left_anti")
     }),
 
-    // ---- dedup: embedding-cosine near-dup pairs
-    "q_cosine_pairs" -> ((s, dir) =>
-      Dedup.cosinePairs(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25)),
+    // ---- dedup: embedding-cosine near-dup pairs (exact tiled block
+    //      join; memoized — the approx precision guard reuses it)
+    "q_cosine_pairs" -> ((s, dir) => cosinePairTable(s, dir)),
+
+    // ---- dedup: SRP-approx cosine precision guard — the sub-quadratic
+    //      variant's output anti-joined against the exact tiled join
+    //      must be empty (the residual filter re-scores candidates with
+    //      the SAME rounded cosine, so precision is 1.0 by construction
+    //      at any scale; SRP banding only costs recall). Hard oracle:
+    //      the empty set.
+    "q_cosine_approx_precision" -> ((s, dir) =>
+      Dedup.cosinePairsApprox(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25)
+        .select(col("id_a"), col("id_b"))
+        .join(cosinePairTable(s, dir).select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")),
 
     // ---- ANN: brute-force cosine top-k (queries = label 0)
     "q_ann_topk" -> ((s, dir) => {
@@ -1046,6 +1067,8 @@ object SparkEntry {
           |  FROM scored) WHERE rank <= 5""".stripMargin,
       "q_minhash_precision" ->
         """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
+      "q_cosine_approx_precision" ->
+        """SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings WHERE false""",
       "q_simhash_recall_guard" ->
         """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
       "q_nn_enrich" ->

@@ -124,6 +124,8 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  @inline private[ann] def cosineOf(a: Array[Float], b: Array[Float]): Double = cosineArr(a, b)
+
   @inline private def cosineArr(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0
     var na = 0.0
@@ -151,7 +153,8 @@ object Ann {
       vecCol: String,
       k: Int,
       numLists: Int = 16,
-      nProbe: Int = 4
+      nProbe: Int = 4,
+      kmeansIters: Int = 0
   ): DataFrame = {
     import spark.implicits._
     val corp = corpus.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
@@ -161,19 +164,13 @@ object Ann {
     // partial agg, numLists-row shuffle — then a broadcast semi-fetch of
     // the numLists winning vectors. The previous row_number() window
     // dragged every (id, vec) row through an exchange before any real
-    // work (11.7 s of the sf0.1 bench).
-    val repIds = corp
-      .map { case (id, _) => (Hashing.toRange(Hashing.mix64(id), numLists), id) }
-      .toDF("cell", "id")
-      .groupBy(col("cell"))
-      .agg(min(col("id")).as("id"))
-    val centroids = corp
-      .toDF("id", "v")
-      .join(broadcast(repIds), Seq("id"))
-      .select(col("cell"), col("v"))
-      .as[(Int, Array[Float])]
-      .collect()
-      .sortBy(_._1)
+    // work (11.7 s of the sf0.1 bench). `kmeansIters` > 0 sharpens the
+    // hash-sample centroids with Lloyd iterations ([[KMeans.fit]] — one
+    // narrow corpus pass each); 0 keeps the zero-extra-pass quantizer.
+    val initial: Array[Array[Float]] =
+      if (kmeansIters > 0) KMeans.fit(spark, corpus, idCol, vecCol, numLists, kmeansIters).centroids
+      else KMeans.initCentroids(spark, corpus, idCol, vecCol, numLists)
+    val centroids = initial.zipWithIndex.map { case (v, i) => (i, v) }
     val bcCent = spark.sparkContext.broadcast(centroids)
 
     def nearestCells(v: Array[Float], n: Int): Array[Int] =

@@ -512,7 +512,11 @@ object Dedup {
     candidates
       .join(va, Seq("id_a"))
       .join(vb, Seq("id_b"))
-      .withColumn("cosine", round(cosine(col("v_a"), col("v_b")), 6))
+      // zero-norm cosine is undefined -> 0, the same convention as the
+      // exact tiled join (scoreTile); without nanvl the 0/0 NaN would
+      // PASS the >= filter (Spark orders NaN above every number) and
+      // break precision-vs-exact containment
+      .withColumn("cosine", round(nanvl(cosine(col("v_a"), col("v_b")), lit(0.0)), 6))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -114,6 +114,46 @@ class DedupAnnSpec extends SparkSpec {
     val again = Ann.ivfTopK(spark, queries, emb, "vec_id", "embedding", 5, numLists = 8, nProbe = 4)
       .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
     assert(again == approx)
+    // Lloyd-refined quantizer: still deterministic, recall not degraded
+    val refined = Ann
+      .ivfTopK(spark, queries, emb, "vec_id", "embedding", 5, numLists = 8, nProbe = 4, kmeansIters = 2)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    info(f"ann ivf kmeans-refined recall=$refinedRecall%.3f")
+    assert(refinedRecall >= 0.5)
+  }
+
+  test("kmeans: recovers separated direction clusters; deterministic under partitioning") {
+    import spark.implicits._
+    import graft.ann.KMeans
+    // three well-separated directions in 6-d, 40 points each with tiny
+    // deterministic jitter
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 1f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 1f, 0f, 0f, 0f)
+    )
+    val rows = (0 until 120).map { i =>
+      val g = i % 3
+      val v = dirs(g).clone()
+      v((g + 1) % 6) = 0.05f * ((i % 7) - 3) // jitter off-axis
+      (i.toLong, v)
+    }
+    val df = rows.toDF("id", "vec")
+    val model = KMeans.fit(spark, df, "id", "vec", k = 3, iters = 3)
+    assert(model.k == 3)
+    val assigned = KMeans.assignClusters(spark, df, "id", "vec", model)
+      .as[(Long, Int)].collect().toMap
+    // all members of a ground-truth group land in ONE cluster, and the
+    // three groups land in THREE distinct clusters
+    val byGroup = rows.groupBy(_._1 % 3).map { case (g, rs) =>
+      g -> rs.map(r => assigned(r._1)).distinct
+    }
+    assert(byGroup.values.forall(_.size == 1), byGroup.toString)
+    assert(byGroup.values.flatten.toSet.size == 3)
+    // partition invariance
+    val model2 = KMeans.fit(spark, df.repartition(7), "id", "vec", k = 3, iters = 3)
+    assert(model2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
   }
 
   test("prefix-filtered exact Jaccard join equals the crossJoin oracle exactly") {
