@@ -49,7 +49,9 @@ object KMeans {
     */
   def initCentroids(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String, k: Int): Array[Array[Float]] = {
     import spark.implicits._
-    val corp = df.select(col(idCol).cast("long"), col(vecCol)).as[(Long, Array[Float])]
+    val corp = df.select(col(idCol).cast("long"), col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
     val repIds = corp
       .map { case (id, _) => (Hashing.toRange(Hashing.mix64(id), k), id) }
       .toDF("cell", "id")
@@ -76,7 +78,8 @@ object KMeans {
     import spark.implicits._
     var cents = initCentroids(spark, df, idCol, vecCol, k)
     if (cents.isEmpty) return Model(Array.empty)
-    val corp = df.select(col(vecCol)).as[Array[Float]]
+    // null embeddings carry no signal and would NPE the assignment
+    val corp = df.select(col(vecCol)).where(col(vecCol).isNotNull).as[Array[Float]]
     val d = cents.head.length
     var it = 0
     while (it < iters) {

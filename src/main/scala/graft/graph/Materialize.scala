@@ -193,6 +193,11 @@ object Materialize {
     val lp = new org.apache.hadoop.fs.Path(ledger)
     val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireLayout(spark, outDir, LayoutBatched, "appendEdgesBatch")
+    // same bucket-count consistency contract as writeEdges: batches of
+    // one table must share the modulus or readers that bucket-prune
+    // would read the wrong dirs
+    tableNumBuckets(spark, outDir).foreach(n =>
+      require(n == numBuckets, s"table at $outDir was written with num_buckets=$n, got $numBuckets"))
     writeTableMeta(fs, outDir, numBuckets, LayoutBatched)
     val committed =
       if (fs.exists(lp))

@@ -40,6 +40,8 @@ object SegmentRuns {
       orderCols: Seq[String],
       broadcastRuns: Boolean = true
   ): DataFrame = {
+    require(!turns.columns.contains("turn_pos"),
+      "turns already has a turn_pos column — it would be silently overwritten")
     val w = Window.partitionBy(col(convCol)).orderBy(orderCols.map(col): _*)
     val pos = turns.withColumn("turn_pos", row_number().over(w))
     val r = if (broadcastRuns) broadcast(runs) else runs

@@ -133,8 +133,11 @@ object Stats {
       .orderBy(col("_cnt").desc, col("_v").asc)
       .limit(1)
       .select(col("_v").as("_glob_mode"))
+    // LEFT join on true, not crossJoin: an all-null column has an EMPTY
+    // global-mode frame, and a crossJoin against it would silently drop
+    // every input row instead of keeping the nulls
     df.join(grpMode, col(groupCol) <=> col("_gkey"), "left")
-      .crossJoin(broadcast(globMode))
+      .join(broadcast(globMode), lit(true), "left")
       .withColumn(as, coalesce(col(valueCol), col("_grp_mode"), col("_glob_mode")))
       .drop("_gkey", "_grp_mode", "_glob_mode")
   }

@@ -101,6 +101,9 @@ object OrientedPaths {
       driverLocalThreshold: Long = 1000000L
   ): Option[Seq[(Long, Int)]] = {
     import spark.implicits._
+    // the virtual super-source is node -1, which is nodeId(-1, Reversed)
+    // of a hypothetical segment -1 — negative seg ids would collide
+    require(fromSeg >= 0 && toSeg >= 0, "segment ids must be non-negative")
     val virt = -1L
     val aug = orientedEdges
       .select(col("src").as("subj"), col("dst").as("obj"))

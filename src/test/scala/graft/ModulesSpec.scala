@@ -166,6 +166,11 @@ class ModulesSpec extends SparkSpec {
       Materialize.appendEdgesBatch(spark, edges, bucketed, batchId = 1L, numBuckets = 2)
     }
 
+    // batch appends must share the table's bucket modulus
+    intercept[IllegalArgumentException] {
+      Materialize.appendEdgesBatch(spark, edges, batched, batchId = 2L, numBuckets = 4)
+    }
+
     // simulate a crash between move-aside and move-in: the bucket is
     // hidden behind _bak_; a standalone heal restores it for readers
     val edgesDir = new org.apache.hadoop.fs.Path(s"$bucketed/edges")

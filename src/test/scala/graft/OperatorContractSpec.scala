@@ -59,6 +59,14 @@ class OperatorContractSpec extends SparkSpec {
     assert(out("g3").toSet == Set("a", "b")) // tie a/b -> smallest 'a' fills the null
   }
 
+  test("imputeGroupMode on an all-null column keeps every row (empty global mode)") {
+    import spark.implicits._
+    val df = Seq(("g1", None: Option[String]), ("g2", None)).toDF("g", "v")
+    val out = Stats.imputeGroupMode(df, "g", "v", "v_imp")
+    assert(out.count() == 2) // a crossJoin against the empty mode frame dropped these
+    assert(out.where($"v_imp".isNotNull).count() == 0)
+  }
+
   test("cleanPipeline replays the reference process_json_data semantics") {
     import spark.implicits._
     // col all_null -> dropped (M1); col mostly_null -> dropped (M2 at 50%);
