@@ -405,6 +405,20 @@ object SparkEntry {
         .join(cosinePairTable(s, dir).select(col("id_a"), col("id_b")),
           Seq("id_a", "id_b"), "left_anti")),
 
+    // ---- dedup: SemDeDup cluster-scoped cosine precision guard —
+    //      every intra-cluster pair the cluster-scoped join emits must
+    //      exist in the global exact join (same scorer/rounding/
+    //      threshold inside a cluster). The cluster-scoped plan is the
+    //      100-TB template for loose thresholds: compute drops from
+    //      O(N^2 d) to sum of O(n_c^2 d). Hard oracle: the empty set.
+    "q_semdedup_precision" -> ((s, dir) =>
+      Dedup
+        .cosinePairsSemDeDup(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25,
+          numClusters = 16, kmeansIters = 1)
+        .select(col("id_a"), col("id_b"))
+        .join(cosinePairTable(s, dir).select(col("id_a"), col("id_b")),
+          Seq("id_a", "id_b"), "left_anti")),
+
     // ---- ANN: brute-force cosine top-k (queries = label 0)
     "q_ann_topk" -> ((s, dir) => {
       val emb = read(s, dir, "embeddings")
@@ -1068,6 +1082,8 @@ object SparkEntry {
       "q_minhash_precision" ->
         """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
       "q_cosine_approx_precision" ->
+        """SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings WHERE false""",
+      "q_semdedup_precision" ->
         """SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings WHERE false""",
       "q_simhash_recall_guard" ->
         """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",

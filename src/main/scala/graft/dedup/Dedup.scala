@@ -460,6 +460,76 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Cluster-scoped exact cosine pairs — the SemDeDup execution shape
+    * (Abbas et al., "SemDeDup: Data-efficient learning at web-scale
+    * through semantic deduplication", arXiv:2303.09540): k-means the
+    * corpus ([[graft.ann.KMeans]], deterministic), then run the exact
+    * tiled cosine self-join INSIDE each cluster only. Semantics are
+    * intra-cluster by definition (pairs straddling a cluster boundary
+    * are not emitted — at web scale that is the operating point the
+    * paper argues for); within a cluster the scorer, rounding and
+    * threshold are identical to [[cosinePairs]], so every emitted pair
+    * is exact.
+    *
+    * This is the 100-TB template for LOOSE thresholds, where the global
+    * exact join's O(N^2 d) compute is the bottleneck and SRP banding
+    * can't block (near-threshold pairs are everywhere): compute drops
+    * to sum over clusters of O(n_c^2 d), a k-fold saving for balanced
+    * clusters, and every cluster is independently parallel. Oversized
+    * clusters are sub-blocked with the same tiling as the global join,
+    * so no task ever materializes more than blockSize^2 candidates.
+    */
+  def cosinePairsSemDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numClusters: Int = 64,
+      kmeansIters: Int = 2,
+      blockSize: Int = 1024
+  ): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    import graft.ann.KMeans
+    val model = KMeans.fit(spark, df, idCol, vecCol, numClusters, kmeansIters)
+    if (model.k == 0) return spark.emptyDataset[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+    val bc = spark.sparkContext.broadcast(model)
+    val assigned = df
+      .select(col(idCol).cast("long"), col(vecCol))
+      .where(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (bc.value.assign(v), id, v) }
+      .toDF("cluster", "id", "v")
+    // cluster sizes: numClusters narrow rows -> sub-block counts
+    val sizes = assigned.groupBy($"cluster").agg(count(lit(1)).as("n")).as[(Int, Long)].collect()
+    val subBlocks = sizes.map { case (c, n) =>
+      c -> math.max(1, math.ceil(n.toDouble / blockSize).toInt)
+    }.toMap
+    val bcSub = spark.sparkContext.broadcast(subBlocks)
+    val blocks = assigned
+      .as[(Int, Long, Array[Float])]
+      .groupByKey { case (c, id, _) =>
+        val g = bcSub.value(c)
+        (c, ((graft.util.Hashing.mix64(id) % g + g) % g).toInt)
+      }
+      .mapGroups { (key: (Int, Int), it: Iterator[(Int, Long, Array[Float])]) =>
+        (key._1, key._2, it.map(t => (t._2, t._3)).toArray.sortBy(_._1))
+      }
+      .toDF("cluster", "blk", "rows")
+    val pairings = spark
+      .createDataset(subBlocks.toSeq.sorted.flatMap { case (c, g) =>
+        for { i <- 0 until g; j <- i until g } yield (c, i, j)
+      })
+      .toDF("cluster", "bi", "bj")
+    pairings
+      .join(blocks.select($"cluster", $"blk".as("bi"), $"rows".as("rows_a")), Seq("cluster", "bi"))
+      .join(blocks.select($"cluster", $"blk".as("bj"), $"rows".as("rows_b")), Seq("cluster", "bj"))
+      .select($"bi", $"bj", $"rows_a", $"rows_b")
+      .as[(Int, Int, Array[(Long, Array[Float])], Array[(Long, Array[Float])])]
+      .flatMap { case (bi, bj, xs, ys) => scoreTile(xs, ys, diagonal = bi == bj, threshold) }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
   /** SRP-blocked approximate cosine pairs — the sub-quadratic path for
     * realistic near-dup thresholds (>= ~0.7), where qualifying pairs
     * are near-parallel and sign-random-projection collisions are dense.

@@ -210,6 +210,28 @@ class DedupAnnSpec extends SparkSpec {
     assert(recall >= 0.7)
   }
 
+  test("semdedup cluster-scoped pairs == brute-force pairs restricted to same cluster") {
+    import spark.implicits._
+    import graft.ann.KMeans
+    import graft.dedup.Dedup
+    val emb = spark.read.parquet(embs)
+    val model = KMeans.fit(spark, emb, "vec_id", "embedding", k = 8, iters = 2)
+    val assigned = KMeans.assignClusters(spark, emb, "vec_id", "embedding", model)
+    val brute = Dedup.cosinePairsBrute(emb, "vec_id", "embedding", 0.25)
+    val expected = brute
+      .join(assigned.select($"vec_id".as("id_a"), $"cluster".as("ca")), Seq("id_a"))
+      .join(assigned.select($"vec_id".as("id_b"), $"cluster".as("cb")), Seq("id_b"))
+      .where($"ca" === $"cb")
+      .select($"id_a", $"id_b", $"cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    // small blockSize exercises the intra-cluster sub-tiling
+    val sem = Dedup
+      .cosinePairsSemDeDup(emb, "vec_id", "embedding", 0.25, numClusters = 8, kmeansIters = 2, blockSize = 64)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sem == expected)
+    assert(sem.nonEmpty)
+  }
+
   test("exact + normalized dedup survivors are originals and idempotent") {
     import spark.implicits._
     val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
