@@ -619,8 +619,9 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_in_range"))
     }),
 
-    // ---- F6: Douglas-Peucker polyline simplification (viz-prep;
-    //      rows-only — spec-verified against hand oracle)
+    // ---- F6: Douglas-Peucker polyline simplification (viz-prep).
+    //      Oracle: a recursive-CTE replay of the exact split rule
+    //      (first-max tie-break, strict > epsilon) in DuckDB.
     "q_dp_simplify" -> ((s, dir) => {
       val ev = read(s, dir, "events")
         .withColumn("x", col("value"))
@@ -719,8 +720,10 @@ object SparkEntry {
       Stats.topWithTiesDeduped(corpus, "event_type", lower)
     }),
 
-    // ---- A7 reference-parity greedy overlap dedup (sequential accept
-    //      loop — not SQL-expressible; rows-only, spec-verified vs CC)
+    // ---- A7 reference-parity greedy overlap dedup. Oracle: the
+    //      sequential accept loop replayed as a list-carrying recursive
+    //      CTE in DuckDB (one step per ranked candidate, accepted
+    //      intervals ride along as a struct list).
     "q_greedy_segments" -> ((s, dir) => {
       val iv = read(s, dir, "events")
         .groupBy(col("event_type").as("group"), col("user_id").as("id"))
@@ -1275,6 +1278,54 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY user_id ORDER BY score ASC, start ASC) AS rn FROM scores)
           |SELECT user_id, start AS start_idx, start + 7 AS end_idx, score
           |FROM best WHERE rn = 1 AND score <= 0.9""".stripMargin,
+      // recursive-CTE Douglas-Peucker: `split` replays the Scala
+      // operator's stack exactly — per interval, the LATERAL picks the
+      // max-perpendicular-distance interior point (first index wins
+      // ties, matching the strict > update), splits when d > epsilon;
+      // kept points = distinct interval endpoints. The y expression
+      // replicates Spark's pmod branch bit-for-bit ((x % m + m) % m
+      // would round differently near 0). Dedup of endpoints uses GROUP
+      // BY — DuckDB's UNION over a recursive CTE's output mis-planned
+      // the distinct here.
+      "q_dp_simplify" ->
+        """WITH RECURSIVE pts AS (
+          |  SELECT CAST(user_id AS VARCHAR) AS session,
+          |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+          |    CAST(value AS DOUBLE) AS x,
+          |    CASE WHEN (value*37.0) % 100.0 < 0 THEN (value*37.0) % 100.0 + 100.0
+          |         ELSE (value*37.0) % 100.0 END AS y
+          |  FROM events),
+          |npts AS (SELECT session, max(rn) AS n FROM pts GROUP BY session),
+          |split AS (
+          |  SELECT session, CAST(1 AS BIGINT) AS s, CAST(n AS BIGINT) AS e FROM npts WHERE n >= 3
+          |  UNION ALL
+          |  SELECT sp.session,
+          |         CASE WHEN half.h = 0 THEN sp.s ELSE best.rn END AS s,
+          |         CASE WHEN half.h = 0 THEN best.rn ELSE sp.e END AS e
+          |  FROM split sp
+          |  JOIN LATERAL (
+          |    SELECT p.rn,
+          |      CASE WHEN (b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y) = 0
+          |           THEN sqrt((p.x-a.x)*(p.x-a.x) + (p.y-a.y)*(p.y-a.y))
+          |           ELSE abs((b.y-a.y)*p.x - (b.x-a.x)*p.y + b.x*a.y - b.y*a.x)
+          |                / sqrt((b.x-a.x)*(b.x-a.x) + (b.y-a.y)*(b.y-a.y)) END AS d
+          |    FROM pts p, pts a, pts b
+          |    WHERE p.session = sp.session AND a.session = sp.session AND b.session = sp.session
+          |      AND a.rn = sp.s AND b.rn = sp.e AND p.rn > sp.s AND p.rn < sp.e
+          |    ORDER BY d DESC, p.rn ASC LIMIT 1
+          |  ) best ON best.d > 1.0
+          |  CROSS JOIN (SELECT 0 AS h UNION ALL SELECT 1) half
+          |  WHERE sp.e - sp.s >= 2),
+          |kept AS (
+          |  SELECT session, rn FROM (
+          |    SELECT session, s AS rn FROM split UNION ALL SELECT session, e FROM split)
+          |  GROUP BY session, rn),
+          |big AS (
+          |  SELECT k.session, CAST(n.n AS INT) AS n_in, CAST(count(*) AS INT) AS n_out
+          |  FROM kept k JOIN npts n USING (session) GROUP BY k.session, n.n),
+          |small AS (
+          |  SELECT session, CAST(n AS INT) AS n_in, CAST(n AS INT) AS n_out FROM npts WHERE n < 3)
+          |SELECT session, n_in, n_out FROM big UNION ALL SELECT session, n_in, n_out FROM small""".stripMargin,
       "q_run_explode" ->
         """WITH seq AS (
           |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,
@@ -1319,6 +1370,44 @@ object SparkEntry {
           |  SELECT CASE WHEN src % 7 = 0 THEN 'backfilled' ELSE 'orig' END AS pred
           |  FROM pairs WHERE dst IS NOT NULL)
           |GROUP BY pred""".stripMargin,
+      // greedy overlap-fraction dedup replayed sequentially: `walk`
+      // advances one ranked candidate per recursion step and carries
+      // the accepted intervals as a struct list; the accept test is a
+      // list_filter lambda computing |intersection| / min(len) against
+      // every accepted interval — the exact reference rule
+      "q_greedy_segments" ->
+        """WITH RECURSIVE iv AS (
+          |  SELECT event_type AS grp, user_id AS id,
+          |    CAST(floor(min(value)/5.0) AS INT) AS s,
+          |    CAST(floor(max(value)/5.0) AS INT) AS e,
+          |    count(*) AS w
+          |  FROM events GROUP BY event_type, user_id),
+          |ranked AS (
+          |  SELECT grp, id, s, e, w,
+          |    row_number() OVER (PARTITION BY grp ORDER BY w DESC, s ASC, id ASC) AS k
+          |  FROM iv),
+          |nk AS (SELECT grp, max(k) AS n FROM ranked GROUP BY grp),
+          |walk AS (
+          |  SELECT grp, CAST(0 AS BIGINT) AS k,
+          |    CAST([] AS STRUCT(s INT, e INT)[]) AS acc,
+          |    CAST([] AS BIGINT[]) AS kept
+          |  FROM nk
+          |  UNION ALL
+          |  SELECT st.grp, st.k,
+          |    CASE WHEN st.ok THEN list_append(st.acc, {'s': st.rs, 'e': st.re}) ELSE st.acc END,
+          |    CASE WHEN st.ok THEN list_append(st.kept, st.k) ELSE st.kept END
+          |  FROM (
+          |    SELECT w.grp, r.k, w.acc, w.kept, r.s AS rs, r.e AS re,
+          |      len(list_filter(w.acc, a ->
+          |        (least(a.e, r.e) - greatest(a.s, r.s) + 1) > 0 AND
+          |        CAST(least(a.e, r.e) - greatest(a.s, r.s) + 1 AS DOUBLE)
+          |          / least(a.e - a.s + 1, r.e - r.s + 1) >= 0.5)) = 0 AS ok
+          |    FROM walk w JOIN ranked r ON r.grp = w.grp AND r.k = w.k + 1
+          |  ) st),
+          |final_kept AS (
+          |  SELECT w.grp, w.kept FROM walk w JOIN nk ON nk.grp = w.grp AND w.k = nk.n)
+          |SELECT r.grp AS "group", r.id, r.s AS start, r.e AS "end", r.w AS weight
+          |FROM ranked r JOIN final_kept f ON f.grp = r.grp AND list_contains(f.kept, r.k)""".stripMargin,
       "q_topk_ties_dedup" ->
         """WITH corpus AS (
           |  SELECT event_type FROM events UNION ALL SELECT upper(event_type) FROM events),
