@@ -368,6 +368,22 @@ object SparkEntry {
         .join(jaccardPairTable(s, dir).select(col("id_a"), col("id_b")),
           Seq("id_a", "id_b"), "left_anti")),
 
+    // ---- dedup: MinHash recall guard on exact duplicates — the
+    //      case-mutated copies (doc_id % 3 == 0 -> id+100000) have
+    //      IDENTICAL lowercased shingle sets, hence identical MinHash
+    //      signatures: every band collides, so banding MUST emit the
+    //      pair and exact re-scoring keeps it (jaccard = 1.0).
+    //      Expected-minus-found must be empty.
+    "q_minhash_recall_guard" -> ((s, dir) => {
+      val expected = read(s, dir, "documents")
+        .where(col("doc_id") % 3 === 0)
+        .select(col("doc_id").cast("long").as("id_a"),
+          (col("doc_id") + 100000).cast("long").as("id_b"))
+      val found = Dedup.minhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3, 0.6)
+        .select(col("id_a"), col("id_b"))
+      expected.join(found, Seq("id_a", "id_b"), "left_anti")
+    }),
+
     // ---- dedup: SimHash near-dup pairs (rows-only; spec-verified)
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(s, docsWithCopies(s, dir), "doc_id", "text", 3)
@@ -1089,6 +1105,8 @@ object SparkEntry {
       "q_semdedup_precision" ->
         """SELECT vec_id AS id_a, vec_id AS id_b FROM embeddings WHERE false""",
       "q_simhash_recall_guard" ->
+        """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
+      "q_minhash_recall_guard" ->
         """SELECT doc_id AS id_a, doc_id AS id_b FROM documents WHERE false""",
       "q_nn_enrich" ->
         """WITH dim AS (SELECT event_type, round(avg(value), 6) AS type_avg FROM events GROUP BY event_type),

@@ -84,8 +84,13 @@ object KMeans {
     var it = 0
     while (it < iters) {
       val bc = spark.sparkContext.broadcast(Model(cents))
-      // one narrow pass: k x d partial sums + counts per partition
-      val (sums, counts) = corp
+      // one narrow pass: k x d partial sums + counts per partition.
+      // Partials are COLLECTED (ordered by partition id) and merged on
+      // the driver in that fixed order — Dataset.reduce would merge in
+      // task-completion order, making the float sums (and so the
+      // centroids) vary in ulps run to run. k x d x P doubles is
+      // driver-trivial for any sane quantizer size.
+      val partials = corp
         .mapPartitions { rows =>
           val m = bc.value
           val acc = Array.fill(m.k)(new Array[Double](d))
@@ -100,18 +105,18 @@ object KMeans {
           }
           Iterator.single((acc, cnt))
         }
-        .reduce { (x, y) =>
-          val (ax, cx) = x
-          val (ay, cy) = y
-          var i = 0
-          while (i < ax.length) {
-            var j = 0
-            while (j < d) { ax(i)(j) += ay(i)(j); j += 1 }
-            cx(i) += cy(i)
-            i += 1
-          }
-          (ax, cx)
+        .collect()
+      val sums = Array.fill(cents.length)(new Array[Double](d))
+      val counts = new Array[Long](cents.length)
+      for ((acc, cnt) <- partials) {
+        var i = 0
+        while (i < sums.length) {
+          var j = 0
+          while (j < d) { sums(i)(j) += acc(i)(j); j += 1 }
+          counts(i) += cnt(i)
+          i += 1
         }
+      }
       cents = Array.tabulate(cents.length) { i =>
         if (counts(i) == 0L) cents(i) // empty cluster: keep previous
         else Array.tabulate(d)(j => (sums(i)(j) / counts(i)).toFloat)
