@@ -10,12 +10,13 @@ import graft.util.Hashing
   * feature extraction.
   *
   * The Spark-side mechanics (schema, partition-size control, batch
-  * shape, deterministic outputs) are real and tested. Codecs: **PNG is
-  * REAL** (JDK `javax.imageio` — encode in the synthetic corpus, decode
-  * + pixel-derived features in extraction; no external jar);
-  * audio/video remain STUBBED behind `StubDecoder` (this container
-  * ships no media libraries) — swap in a real decoder (JNI/javacv)
-  * without touching the pipeline. In PySpark the equivalent surface is
+  * shape, deterministic outputs) are real and tested. Codecs: **PNG and
+  * WAV are REAL** (JDK `javax.imageio` / `javax.sound.sampled` — encode
+  * in the synthetic corpus, decode + content-derived features in
+  * extraction; no external jar); video remains STUBBED behind
+  * `StubDecoder` (no container codec ships with the JDK) — swap in a
+  * real decoder (JNI/javacv) without touching the pipeline. In PySpark
+  * the equivalent surface is
   * `mapInPandas`; in Scala the per-partition batched iterator below is
   * the same execution shape (one decoder init per partition, vectorized
   * batches, bounded memory).
@@ -131,21 +132,128 @@ object BinaryOps {
     h
   }
 
+  /** REAL WAV codec on the JDK's javax.sound.sampled — no external jar.
+    * Encode writes a RIFF/PCM16LE container (44-byte canonical header);
+    * decode parses it back through AudioSystem and extracts
+    * time-domain features: per-quarter RMS (4) and zero-crossing rate
+    * (4), global RMS / ZCR / peak / mean-abs, sample-count and
+    * sample-rate scaled, channel count, and a real-decode marker.
+    * (No FFT in the JDK — spectral features belong to the
+    * real-codec swap slot like the video decoder.)
+    */
+  object WavCodec {
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer
+        .allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** None when the payload is not a decodable audio container. */
+    def decodeAndFeaturize(payload: Array[Byte]): Option[Array[Float]] = {
+      val in =
+        try javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) None
+      else {
+        val fmt = in.getFormat
+        val bytes = in.readAllBytes()
+        in.close()
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / 2
+        if (n == 0) return None
+        val samples = new Array[Short](n)
+        var i = 0
+        while (i < n) { samples(i) = bb.getShort(i * 2); i += 1 }
+
+        val out = new Array[Float](FeatureDim)
+        var q = 0
+        while (q < 4) {
+          val s = n * q / 4
+          val e = math.max(s + 1, n * (q + 1) / 4)
+          var sq = 0.0
+          var zc = 0L
+          var j = s
+          while (j < e) {
+            val v = samples(j) / 32768.0
+            sq += v * v
+            if (j > s && (samples(j) >= 0) != (samples(j - 1) >= 0)) zc += 1
+            j += 1
+          }
+          out(q) = math.sqrt(sq / (e - s)).toFloat
+          out(4 + q) = zc.toFloat / (e - s)
+          q += 1
+        }
+        var sq = 0.0
+        var zc = 0L
+        var peak = 0.0
+        var meanAbs = 0.0
+        var j = 0
+        while (j < n) {
+          val v = samples(j) / 32768.0
+          sq += v * v
+          meanAbs += math.abs(v)
+          if (math.abs(v) > peak) peak = math.abs(v)
+          if (j > 0 && (samples(j) >= 0) != (samples(j - 1) >= 0)) zc += 1
+          j += 1
+        }
+        out(8) = math.sqrt(sq / n).toFloat
+        out(9) = zc.toFloat / n
+        out(10) = peak.toFloat
+        out(11) = (meanAbs / n).toFloat
+        out(12) = math.min(1.0f, n / 65536.0f)
+        out(13) = fmt.getSampleRate / 48000.0f
+        out(14) = fmt.getChannels.toFloat
+        out(15) = 1.0f // real-decode marker
+        Some(out)
+      }
+    }
+  }
+
   /** Deterministic synthetic media corpus (payloads are a pure function
     * of media_id) — the fixture for the plumbing tests. image/png rows
     * carry a REAL 16x16 PNG (pixel colors derived from the id);
-    * audio/video rows carry opaque stub bytes.
+    * audio/wav rows carry a REAL PCM16 WAV (id-derived sine tone);
+    * video rows carry opaque stub bytes (no container codec in the JDK).
     */
   def syntheticMedia(spark: SparkSession, n: Int, bytesPer: Int = 1024): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).map { id =>
       val tpe = Seq("image/png", "audio/wav", "video/mp4")(Hashing.toRange(Hashing.mix2(id, 99L), 3))
-      if (tpe == "image/png") {
-        val png = PngCodec.encode(16, 16, (x, y) => Hashing.mix3(id, x.toLong, y.toLong).toInt)
-        MediaRow(id, png, MediaMeta(tpe, 16, 16, 0L))
-      } else {
-        val payload = Array.tabulate(bytesPer)(i => Hashing.mix2(id, i.toLong).toByte)
-        MediaRow(id, payload, MediaMeta(tpe, 64, 64, 1000L))
+      tpe match {
+        case "image/png" =>
+          val png = PngCodec.encode(16, 16, (x, y) => Hashing.mix3(id, x.toLong, y.toLong).toInt)
+          MediaRow(id, png, MediaMeta(tpe, 16, 16, 0L))
+        case "audio/wav" =>
+          val sr = 8000
+          val nSamples = 400
+          val freq = 200.0 + Hashing.toRange(Hashing.mix2(id, 7L), 1800)
+          val wav = WavCodec.encode(
+            Array.tabulate(nSamples)(i =>
+              (math.sin(2 * math.Pi * freq * i / sr) * 12000).toShort),
+            sr
+          )
+          MediaRow(id, wav, MediaMeta(tpe, 0, 0, nSamples * 1000L / sr))
+        case _ =>
+          val payload = Array.tabulate(bytesPer)(i => Hashing.mix2(id, i.toLong).toByte)
+          MediaRow(id, payload, MediaMeta(tpe, 64, 64, 1000L))
       }
     }
   }
@@ -163,13 +271,18 @@ object BinaryOps {
       // per-partition decoder init slot (ImageIO is stateless/static;
       // a JNI codec for audio/video would initialize here, once)
       it.map { row =>
-        val feats =
-          if (row.meta.mediaType == "image/png")
-            // REAL decode; non-PNG bytes under a png label fall back to
-            // the stub instead of failing the batch
+        // REAL decode for the JDK-covered codecs; undecodable bytes
+        // under those labels fall back to the stub instead of failing
+        // the batch. Video stays stubbed (no container codec in-JVM).
+        val feats = row.meta.mediaType match {
+          case "image/png" =>
             PngCodec.decodeAndFeaturize(row.payload)
               .getOrElse(StubDecoder.decodeAndFeaturize(row.payload))
-          else StubDecoder.decodeAndFeaturize(row.payload)
+          case "audio/wav" =>
+            WavCodec.decodeAndFeaturize(row.payload)
+              .getOrElse(StubDecoder.decodeAndFeaturize(row.payload))
+          case _ => StubDecoder.decodeAndFeaturize(row.payload)
+        }
         MediaFeatures(row.media_id, row.payload.length, checksum64(row.payload), feats)
       }
     }
@@ -191,14 +304,19 @@ object BinaryOps {
     media.mapPartitions { it =>
       // real impl: val codec = HeavyCodec.init()  (once per partition)
       it.map { row =>
-        val ratio = (targetW.toLong * targetH).toDouble /
-          math.max(1L, row.meta.width.toLong * row.meta.height)
-        val outLen = math.max(1, (row.payload.length * ratio).toInt)
-        val out = Array.tabulate(outLen) { i =>
-          // deterministic stub "resample": stride through source bytes
-          row.payload(((i.toLong * row.payload.length) / outLen).toInt)
+        // spatial resize only applies to media WITH spatial dims; audio
+        // rows (width*height == 0) pass through untouched
+        if (row.meta.width.toLong * row.meta.height == 0L) row
+        else {
+          val ratio = (targetW.toLong * targetH).toDouble /
+            (row.meta.width.toLong * row.meta.height)
+          val outLen = math.max(1, (row.payload.length * ratio).toInt)
+          val out = Array.tabulate(outLen) { i =>
+            // deterministic stub "resample": stride through source bytes
+            row.payload(((i.toLong * row.payload.length) / outLen).toInt)
+          }
+          MediaRow(row.media_id, out, row.meta.copy(width = targetW, height = targetH))
         }
-        MediaRow(row.media_id, out, row.meta.copy(width = targetW, height = targetH))
       }
     }
   }

@@ -209,6 +209,31 @@ class ModulesSpec extends SparkSpec {
     val imgFeats = a.filter(f => imageIds.contains(f._1)).map(_._3)
     assert(imgFeats.forall(f => f(15) == 1.0f && f(13) == 16 / 256.0f && f(14) == 16 / 256.0f))
     assert(imgFeats.forall(f => (0 until 12).forall(i => f(i) >= 0f && f(i) <= 1f)))
+    // audio rows went through the REAL javax.sound decode: marker set,
+    // mono PCM at 8 kHz, genuine RMS of the synthesized 12000-amp sine
+    val audioIds = media.collect().filter(_.meta.mediaType == "audio/wav").map(_.media_id).toSet
+    assert(audioIds.nonEmpty)
+    val wavFeats = a.filter(f => audioIds.contains(f._1)).map(_._3)
+    assert(wavFeats.forall(f => f(15) == 1.0f && f(14) == 1.0f && f(13) == 8000 / 48000.0f))
+    val sineRms = 12000.0 / 32768.0 / math.sqrt(2.0)
+    assert(wavFeats.forall(f => math.abs(f(8) - sineRms) < 0.02))
+  }
+
+  test("multimodal: WAV decode extracts exact signal features") {
+    // 1 kHz sine at 8 kHz, amplitude 12000: RMS = A/sqrt(2), ZCR = 2f/sr
+    val sr = 8000
+    val sine = Array.tabulate(800)(i => (math.sin(2 * math.Pi * 1000.0 * i / sr) * 12000).toShort)
+    val f = BinaryOps.WavCodec.decodeAndFeaturize(BinaryOps.WavCodec.encode(sine, sr)).get
+    assert(math.abs(f(8) - 12000.0 / 32768.0 / math.sqrt(2.0)) < 0.005)
+    assert(math.abs(f(9) - 2 * 1000.0 / sr) < 0.01)
+    assert(math.abs(f(10) - 12000.0 / 32768.0) < 0.01) // peak
+    assert(f(13) == sr / 48000.0f && f(14) == 1.0f && f(15) == 1.0f)
+    // silence: zero RMS/ZCR/peak
+    val z = BinaryOps.WavCodec.decodeAndFeaturize(
+      BinaryOps.WavCodec.encode(new Array[Short](100), sr)).get
+    assert(z(8) == 0f && z(9) == 0f && z(10) == 0f)
+    // garbage bytes are not audio
+    assert(BinaryOps.WavCodec.decodeAndFeaturize(Array[Byte](9, 9, 9, 9)).isEmpty)
   }
 
   test("multimodal: PNG decode extracts exact pixel features (solid color)") {
@@ -231,17 +256,21 @@ class ModulesSpec extends SparkSpec {
   }
 
   test("multimodal: resize rewrites payload+meta; frame sampling strides and caps") {
-    val media = BinaryOps.syntheticMedia(spark, 30, 512) // a/v: 64x64 512B; png: 16x16
+    val media = BinaryOps.syntheticMedia(spark, 30, 512) // video: 64x64 512B; png 16x16; wav no dims
     val srcLens = media.collect().map(r => r.media_id -> (r.payload.length, r.meta)).toMap
     val resized = BinaryOps.resize(spark, media, 32, 32).collect()
     assert(resized.length == 30)
-    assert(resized.forall(r => r.meta.width == 32 && r.meta.height == 32))
-    // stub resample scales payload by the area ratio: 1/4 for the 64x64
-    // a/v rows (512 -> 128), 4x for the 16x16 png rows
+    // spatial rows get the new dims + area-ratio payload; audio rows
+    // (no spatial dims) pass through untouched
     assert(resized.forall { r =>
       val (srcLen, srcMeta) = srcLens(r.media_id)
-      val ratio = (32L * 32).toDouble / (srcMeta.width.toLong * srcMeta.height)
-      r.payload.length == math.max(1, (srcLen * ratio).toInt)
+      if (srcMeta.width.toLong * srcMeta.height == 0L)
+        r.meta == srcMeta && r.payload.length == srcLen
+      else {
+        val ratio = (32L * 32).toDouble / (srcMeta.width.toLong * srcMeta.height)
+        r.meta.width == 32 && r.meta.height == 32 &&
+        r.payload.length == math.max(1, (srcLen * ratio).toInt)
+      }
     })
     // determinism under different partitioning
     val again = BinaryOps.resize(spark, media.repartition(5), 32, 32)
