@@ -104,14 +104,16 @@ object Dedup {
       .select($"id_a", $"id_b")
       .distinct() // a pair colliding in several bands scores once
 
+    // codegen'd exact verification: the typed-map formulation
+    // deserialized both shingle arrays through the encoder per
+    // candidate; JaccardDistinct reads them off the unsafe row inside
+    // whole-stage codegen (same semantics — distinct-element Jaccard)
     candidates
       .join(shingled.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(shingled.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, sa, sb) => (a, b, Linker.exactJaccard(sa, sb)) }
-      .toDF("id_a", "id_b", "jaccard")
+      .withColumn("jaccard", graft.functions.VectorExpressions.jaccard_distinct($"sh_a", $"sh_b"))
       .where($"jaccard" >= cfg.jaccardThreshold)
+      .select($"id_a", $"id_b", $"jaccard")
   }
 
   /** EXACT word-shingle Jaccard similarity join via prefix filtering
@@ -214,14 +216,13 @@ object Dedup {
       .select($"id_a", $"id_b")
       .distinct()
 
+    // codegen'd exact verification (see minhashNearDupPairs note)
     candidates
       .join(shingled.select($"id".as("id_a"), $"sh".as("sh_a")), Seq("id_a"))
       .join(shingled.select($"id".as("id_b"), $"sh".as("sh_b")), Seq("id_b"))
-      .select($"id_a", $"id_b", $"sh_a", $"sh_b")
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .map { case (a, b, sa, sb) => (a, b, Linker.exactJaccard(sa, sb)) }
-      .toDF("id_a", "id_b", "jaccard")
+      .withColumn("jaccard", graft.functions.VectorExpressions.jaccard_distinct($"sh_a", $"sh_b"))
       .where($"jaccard" >= threshold)
+      .select($"id_a", $"id_b", $"jaccard")
   }
 
   /** Near-dup dedup SURVIVORS under the pairwise smaller-id-wins

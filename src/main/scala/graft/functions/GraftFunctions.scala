@@ -22,6 +22,11 @@ object GraftFunctions {
       exprs => VectorExpressions.VectorNorm(exprs.head),
       "scala_udf"
     )
+    reg.createOrReplaceTempFunction(
+      "jaccard_distinct",
+      exprs => VectorExpressions.JaccardDistinct(exprs(0), exprs(1)),
+      "scala_udf"
+    )
     spark.udf.register("det_mode", org.apache.spark.sql.functions.udaf(DeterministicMode))
   }
 }

@@ -138,6 +138,67 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Shared kernel for [[JaccardDistinct]] — public so the generated
+    * code can call it as a static method (Scala objects emit static
+    * forwarders); the JIT inlines it. Inputs are COPIES (toLongArray),
+    * sorted in place, then merge-walked.
+    */
+  def jaccardDistinctKernel(xs: Array[Long], ys: Array[Long]): Double = {
+    java.util.Arrays.sort(xs)
+    java.util.Arrays.sort(ys)
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < xs.length && j < ys.length) {
+      if (xs(i) == ys(j)) { inter += 1; i += 1; j += 1 }
+      else if (xs(i) < ys(j)) i += 1
+      else j += 1
+    }
+    val union = xs.length + ys.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** Jaccard similarity of two DISTINCT-element long arrays (any
+    * element order; shingle-set IDs). The typed-Dataset formulation of
+    * the candidate-verification step deserializes both arrays through
+    * the encoder per candidate pair; this expression reads them
+    * straight off the unsafe row inside whole-stage codegen — the same
+    * reason VectorDot exists for the cosine family. Semantics match
+    * Linker.exactJaccard on distinct inputs (|A ∩ B| / |A ∪ B|, empty
+    * vs empty = 1.0), so swapping it into the join changes no results.
+    */
+  case class JaccardDistinct(left: Expression, right: Expression) extends BinaryExpression {
+
+    private def checkArr(t: DataType, side: String): TypeCheckResult = t match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(s"$side must be array<bigint>, got $other")
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkArr(left.dataType, "left") match {
+        case TypeCheckResult.TypeCheckSuccess => checkArr(right.dataType, "right")
+        case f => f
+      }
+    override def dataType: DataType = DoubleType
+
+    override def nullSafeEval(a: Any, b: Any): Any =
+      jaccardDistinctKernel(
+        a.asInstanceOf[ArrayData].toLongArray(),
+        b.asInstanceOf[ArrayData].toLongArray())
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"""
+           |${ev.value} = graft.functions.VectorExpressions.jaccardDistinctKernel(
+           |  $a.toLongArray(), $b.toLongArray());
+           |""".stripMargin)
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def jaccard_distinct(a: Column, b: Column): Column =
+    ExprBridge.column(JaccardDistinct(ExprBridge.expression(a), ExprBridge.expression(b)))
+
   def vec_dot(a: Column, b: Column): Column =
     ExprBridge.column(VectorDot(ExprBridge.expression(a), ExprBridge.expression(b)))
 

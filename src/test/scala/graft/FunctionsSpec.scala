@@ -24,4 +24,34 @@ class FunctionsSpec extends SparkSpec {
     m.createOrReplaceTempView("modes")
     assert(spark.sql("SELECT det_mode(v) FROM modes").head().getString(0) == "x") // tie x/y -> smallest
   }
+
+  test("jaccard_distinct matches the scalar scorer on random distinct sets") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.tabulate(200) { i =>
+      def set() = Array.fill(rnd.nextInt(20))(rnd.nextInt(30).toLong).distinct
+      (i.toLong, set(), set())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select($"id", jaccard_distinct($"a", $"b").as("j"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, a, b) =>
+      assert(got(id) == graft.link.Linker.exactJaccard(a, b), s"id=$id")
+    }
+    // empty vs empty = 1.0; empty vs non-empty = 0.0; null propagates
+    val edge = Seq(
+      (1L, Array.empty[Long], Array.empty[Long]),
+      (2L, Array.empty[Long], Array(1L, 2L))
+    ).toDF("id", "a", "b")
+    val e = edge.select($"id", jaccard_distinct($"a", $"b").as("j")).as[(Long, Double)].collect().toMap
+    assert(e(1L) == 1.0 && e(2L) == 0.0)
+    val withNull = Seq((1L, Some(Array(1L)), None: Option[Array[Long]])).toDF("id", "a", "b")
+    assert(withNull.select(jaccard_distinct($"a", $"b")).head().isNullAt(0))
+    // SQL registration
+    graft.functions.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("jd")
+    val viaSql = spark.sql("SELECT id, jaccard_distinct(a, b) FROM jd").as[(Long, Double)].collect().toMap
+    assert(viaSql == got)
+  }
 }
