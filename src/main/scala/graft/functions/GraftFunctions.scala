@@ -10,21 +10,50 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
 
+  // Arity is validated in the builder lambda: the function registry
+  // invokes it with however many arguments the SQL call supplied, and a
+  // bare exprs(1) would surface as IndexOutOfBoundsException instead of
+  // a readable analysis error.
+  private def expectArity(
+      name: String,
+      n: Int,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+  ): Unit =
+    if (exprs.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name,
+          "expectedNum" -> n.toString,
+          "actualNum" -> exprs.length.toString,
+          "docroot" -> ""
+        )
+      )
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "vec_dot",
-      exprs => VectorExpressions.VectorDot(exprs(0), exprs(1)),
+      exprs => {
+        expectArity("vec_dot", 2, exprs)
+        VectorExpressions.VectorDot(exprs(0), exprs(1))
+      },
       "scala_udf"
     )
     reg.createOrReplaceTempFunction(
       "vec_norm",
-      exprs => VectorExpressions.VectorNorm(exprs.head),
+      exprs => {
+        expectArity("vec_norm", 1, exprs)
+        VectorExpressions.VectorNorm(exprs.head)
+      },
       "scala_udf"
     )
     reg.createOrReplaceTempFunction(
       "jaccard_distinct",
-      exprs => VectorExpressions.JaccardDistinct(exprs(0), exprs(1)),
+      exprs => {
+        expectArity("jaccard_distinct", 2, exprs)
+        VectorExpressions.JaccardDistinct(exprs(0), exprs(1))
+      },
       "scala_udf"
     )
     spark.udf.register("det_mode", org.apache.spark.sql.functions.udaf(DeterministicMode))

@@ -170,8 +170,13 @@ object VectorExpressions {
   case class JaccardDistinct(left: Expression, right: Expression) extends BinaryExpression {
 
     private def checkArr(t: DataType, side: String): TypeCheckResult = t match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
-      case other => TypeCheckResult.TypeCheckFailure(s"$side must be array<bigint>, got $other")
+      // containsNull arrays are rejected at analysis time: toLongArray
+      // throws an opaque runtime error on a null element, so surface the
+      // contract (distinct non-null shingle IDs) before execution.
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$side must be array<bigint> with non-null elements, got $other")
     }
     override def checkInputDataTypes(): TypeCheckResult =
       checkArr(left.dataType, "left") match {

@@ -87,11 +87,24 @@ object Materialize {
     readTableMeta(spark, outDir).map(txt =>
       raw""""layout"\s*:\s*"(\w+)"""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse(LayoutBucketed))
 
-  private def requireLayout(spark: SparkSession, outDir: String, expected: String, op: String): Unit =
+  private def requireLayout(spark: SparkSession, outDir: String, expected: String, op: String): Unit = {
     tableLayout(spark, outDir).foreach(l =>
       require(l == expected,
         s"$op requires a $expected-layout table, but $outDir was written as $l " +
           "(edges/part_bucket=B vs edges/batch_id=N/part_bucket=B are incompatible layouts)"))
+    // Directory-shape backstop for legacy tables written before the meta
+    // file carried a layout field: the top-level dir names under edges/
+    // identify the layout even with no meta, and stamping the wrong kind
+    // over such a table would create exactly the mixed layout the guard
+    // exists to prevent.
+    val edgesDir = new org.apache.hadoop.fs.Path(s"$outDir/edges")
+    val fs = edgesDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(edgesDir)) {
+      val foreignPrefix = if (expected == LayoutBucketed) "batch_id=" else s"$BucketCol="
+      require(!fs.listStatus(edgesDir).exists(_.getPath.getName.startsWith(foreignPrefix)),
+        s"$op requires a $expected-layout table, but $edgesDir contains $foreignPrefix dirs")
+    }
+  }
 
   /** Buckets already written successfully (empty DF on first run). */
   def completedBuckets(spark: SparkSession, outDir: String): DataFrame = {

@@ -78,9 +78,12 @@ object BinaryOps {
 
     /** None when the payload is not decodable as an image. */
     def decodeAndFeaturize(payload: Array[Byte]): Option[Array[Float]] = {
+      // ImageIO plugin readers can throw RuntimeExceptions (not just
+      // IOException) on malformed payloads; any decode failure must fall
+      // back to the stub rather than failing the Spark task.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else {
         val w = img.getWidth
@@ -172,16 +175,37 @@ object BinaryOps {
         }
       if (in == null) None
       else {
-        val fmt = in.getFormat
-        val bytes = in.readAllBytes()
+        // Never interpret raw bytes under an assumed PCM16 layout: route
+        // every decodable container through an explicit conversion to
+        // 16-bit signed little-endian PCM (8-bit / float / a-law inputs
+        // convert; genuinely unconvertible ones fall back to the stub),
+        // then de-interleave multi-channel frames by averaging to mono.
+        val srcFmt = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          srcFmt.getSampleRate, 16, srcFmt.getChannels,
+          srcFmt.getChannels * 2, srcFmt.getSampleRate, false)
+        val pcm =
+          try javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          catch { case scala.util.control.NonFatal(_) => null }
+        if (pcm == null) { in.close(); return None }
+        val fmt = pcm.getFormat
+        val bytes = pcm.readAllBytes()
+        pcm.close()
         in.close()
-        val bb = java.nio.ByteBuffer.wrap(bytes).order(
-          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
-        val n = bytes.length / 2
+        val ch = math.max(1, fmt.getChannels)
+        val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val n = bytes.length / (2 * ch)
         if (n == 0) return None
         val samples = new Array[Short](n)
         var i = 0
-        while (i < n) { samples(i) = bb.getShort(i * 2); i += 1 }
+        while (i < n) {
+          var acc = 0
+          var c = 0
+          while (c < ch) { acc += bb.getShort((i * ch + c) * 2); c += 1 }
+          samples(i) = (acc / ch).toShort
+          i += 1
+        }
 
         val out = new Array[Float](FeatureDim)
         var q = 0

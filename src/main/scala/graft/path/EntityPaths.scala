@@ -112,6 +112,29 @@ object EntityPaths {
       directed: Boolean = false
   ): DataFrame = {
     import spark.implicits._
+    bfsDispatch(spark, edges, from, maxDepth, driverLocalThreshold, directed) match {
+      case Left(rows) => spark.createDataset(rows.toSeq).toDF("id", "dist", "parent")
+      case Right(df)  => df
+    }
+  }
+
+  /** Regime dispatch shared by [[bfsDistances]] and the path
+    * reconstructions: Left = the driver-local (id, dist, parent) rows
+    * (graph fit the limit-probe — the reference's own regime), Right =
+    * the distributed frontier-join result. Exposing the local rows lets
+    * the path walkers traverse the parent map in-process instead of
+    * issuing one tiny Spark job per hop against a DataFrame that was
+    * driver-sized to begin with.
+    */
+  private[path] def bfsDispatch(
+      spark: SparkSession,
+      edges: DataFrame,
+      from: Long,
+      maxDepth: Int,
+      driverLocalThreshold: Long,
+      directed: Boolean
+  ): Either[Array[(Long, Int, Long)], DataFrame] = {
+    import spark.implicits._
     val adj = adjacency(edges, directed).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       if (driverLocalThreshold > 0) {
@@ -119,10 +142,10 @@ object EntityPaths {
         // pattern as ConnectedComponents.run — executeTake stops early)
         val sample = adj.limit((driverLocalThreshold + 1).toInt).as[(Long, Long)].collect()
         if (sample.length <= driverLocalThreshold) {
-          return spark.createDataset(bfsLocal(sample, from, maxDepth).toSeq).toDF("id", "dist", "parent")
+          return Left(bfsLocal(sample, from, maxDepth))
         }
       }
-      bfsDistributed(spark, adj, from, maxDepth)
+      Right(bfsDistributed(spark, adj, from, maxDepth))
     } finally adj.unpersist()
   }
 
@@ -154,10 +177,12 @@ object EntityPaths {
   }
 
   /** Shortest path from `from` to `to` (same dispatch as
-    * [[bfsDistances]]); reconstruction walks the parent pointers —
-    * at most maxDepth tiny lookups against the checkpointed BFS
-    * output, never a full collect of the reached set.
-    * Reference: /root/reference/src/PathFinder.jl:123-136.
+    * [[bfsDistances]]). When the BFS ran driver-local (the common
+    * regime) the parent map is already in-process and the walk issues
+    * ZERO further Spark jobs; in the distributed regime reconstruction
+    * walks the parent pointers — at most maxDepth tiny lookups against
+    * the checkpointed BFS output, never a full collect of the reached
+    * set. Reference: /root/reference/src/PathFinder.jl:123-136.
     */
   def shortestPath(
       spark: SparkSession,
@@ -169,26 +194,32 @@ object EntityPaths {
       directed: Boolean = false
   ): Option[Seq[Long]] = {
     if (from == to) return Some(Seq(from))
-    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold, directed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      if (bfs.where(col("id") === to).isEmpty) None
-      else {
-        val path = scala.collection.mutable.ListBuffer(to)
-        while (path.head != from) {
-          val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
-          path.prepend(p)
-        }
-        Some(path.toSeq)
-      }
-    } finally bfs.unpersist()
+    bfsDispatch(spark, edges, from, maxDepth, driverLocalThreshold, directed) match {
+      case Left(rows) =>
+        reconstruct(rows.map { case (id, d, p) => id -> (d, p) }.toMap, from, to)
+      case Right(df) =>
+        val bfs = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (bfs.where(col("id") === to).isEmpty) None
+          else {
+            val path = scala.collection.mutable.ListBuffer(to)
+            while (path.head != from) {
+              val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
+              path.prepend(p)
+            }
+            Some(path.toSeq)
+          }
+        } finally bfs.unpersist()
+    }
   }
 
   /** Deterministic demo path: from `from` to the farthest reached node
     * (max dist, min id among ties), as (step, id) rows — step 0 = from.
-    * The walk is one tiny lookup per hop (path length <= maxDepth) over
-    * the persisted BFS output; the path itself is driver-sized by
-    * construction (<= maxDepth + 1 rows).
+    * Driver-local regime: the farthest target and the whole walk happen
+    * in-process (no per-hop jobs). Distributed regime: one tiny lookup
+    * per hop (path length <= maxDepth) over the persisted BFS output;
+    * the path itself is driver-sized by construction (<= maxDepth + 1
+    * rows).
     */
   def pathToFarthest(
       spark: SparkSession,
@@ -198,19 +229,30 @@ object EntityPaths {
       driverLocalThreshold: Long = 1000000L
   ): DataFrame = {
     import spark.implicits._
-    val bfs = bfsDistances(spark, edges, from, maxDepth, driverLocalThreshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val target: Row = bfs.orderBy(col("dist").desc, col("id").asc).limit(1).head()
-      val tid = target.getLong(0)
-      val tdist = target.getInt(1)
-      val path = scala.collection.mutable.ListBuffer(tid)
-      while (path.head != from) {
-        val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
-        path.prepend(p)
-      }
-      assert(path.length == tdist + 1, s"parent chain length ${path.length} != dist+1 ${tdist + 1}")
-      spark.createDataset(path.toSeq.zipWithIndex.map { case (id, step) => (step, id) }).toDF("step", "id")
-    } finally bfs.unpersist()
+    bfsDispatch(spark, edges, from, maxDepth, driverLocalThreshold, directed = false) match {
+      case Left(rows) =>
+        val byId = rows.map { case (id, d, p) => id -> (d, p) }.toMap
+        val (tid, tdist) = rows.iterator
+          .map { case (id, d, _) => (id, d) }
+          .reduce((x, y) => if (y._2 > x._2 || (y._2 == x._2 && y._1 < x._1)) y else x)
+        val path = scala.collection.mutable.ListBuffer(tid)
+        while (path.head != from) path.prepend(byId(path.head)._2)
+        assert(path.length == tdist + 1, s"parent chain length ${path.length} != dist+1 ${tdist + 1}")
+        spark.createDataset(path.toSeq.zipWithIndex.map { case (id, step) => (step, id) }).toDF("step", "id")
+      case Right(df) =>
+        val bfs = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val target: Row = bfs.orderBy(col("dist").desc, col("id").asc).limit(1).head()
+          val tid = target.getLong(0)
+          val tdist = target.getInt(1)
+          val path = scala.collection.mutable.ListBuffer(tid)
+          while (path.head != from) {
+            val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
+            path.prepend(p)
+          }
+          assert(path.length == tdist + 1, s"parent chain length ${path.length} != dist+1 ${tdist + 1}")
+          spark.createDataset(path.toSeq.zipWithIndex.map { case (id, step) => (step, id) }).toDF("step", "id")
+        } finally bfs.unpersist()
+    }
   }
 }

@@ -108,25 +108,39 @@ object OrientedPaths {
     val aug = orientedEdges
       .select(col("src").as("subj"), col("dst").as("obj"))
       .union(Seq((virt, nodeId(fromSeg, Forward)), (virt, nodeId(fromSeg, Reversed))).toDF("subj", "obj"))
-    val bfs = EntityPaths
-      .bfsDistances(spark, aug, virt, maxDepth + 1, driverLocalThreshold, directed = true)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val targets = bfs
-        .where(col("id").isin(nodeId(toSeg, Forward), nodeId(toSeg, Reversed)))
-        .orderBy(col("dist").asc, col("id").asc) // min dist; forward (even id) wins ties
-        .limit(1)
-        .collect()
-      if (targets.isEmpty) None
-      else {
-        val path = scala.collection.mutable.ListBuffer(targets.head.getLong(0))
-        while (path.head != virt) {
-          val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
-          if (p == virt) path.prepend(virt)
-          else path.prepend(p)
+    EntityPaths.bfsDispatch(spark, aug, virt, maxDepth + 1, driverLocalThreshold, directed = true) match {
+      case Left(rows) =>
+        // driver-local regime: target selection + parent walk happen
+        // in-process — zero Spark jobs beyond the dispatch probe
+        val byId = rows.map { case (id, d, p) => id -> (d, p) }.toMap
+        val target = Seq(nodeId(toSeg, Forward), nodeId(toSeg, Reversed))
+          .flatMap(n => byId.get(n).map(dp => (n, dp._1)))
+          .sortBy { case (n, d) => (d, n) } // min dist; forward (even id) wins ties
+          .headOption
+        target.map { case (t, _) =>
+          val path = scala.collection.mutable.ListBuffer(t)
+          while (path.head != virt) path.prepend(byId(path.head)._2)
+          path.toSeq.drop(1).map(n => (segOf(n), orientOf(n)))
         }
-        Some(path.toSeq.drop(1).map(n => (segOf(n), orientOf(n))))
-      }
-    } finally bfs.unpersist()
+      case Right(df) =>
+        val bfs = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val targets = bfs
+            .where(col("id").isin(nodeId(toSeg, Forward), nodeId(toSeg, Reversed)))
+            .orderBy(col("dist").asc, col("id").asc) // min dist; forward (even id) wins ties
+            .limit(1)
+            .collect()
+          if (targets.isEmpty) None
+          else {
+            val path = scala.collection.mutable.ListBuffer(targets.head.getLong(0))
+            while (path.head != virt) {
+              val p = bfs.where(col("id") === path.head).select(col("parent")).head().getLong(0)
+              if (p == virt) path.prepend(virt)
+              else path.prepend(p)
+            }
+            Some(path.toSeq.drop(1).map(n => (segOf(n), orientOf(n))))
+          }
+        } finally bfs.unpersist()
+    }
   }
 }

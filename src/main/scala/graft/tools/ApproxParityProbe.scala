@@ -34,6 +34,38 @@ object ApproxParityProbe {
         q("q_hotspot_cells")(spark, dir).withColumnRenamed("n_sessions", "n"))
       diff("ann_lsh_vs_brute", q("q_ann_lsh")(spark, dir), q("q_ann_topk")(spark, dir))
       diff("ann_ivf_vs_brute", q("q_ann_ivf")(spark, dir), q("q_ann_topk")(spark, dir))
+      // rank-free neighbor-id containment (recall@k) — the guard metric
+      val brute = q("q_ann_topk")(spark, dir).select("query_id", "neighbor_id")
+      val nBrute = brute.count()
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val qs = emb.where(org.apache.spark.sql.functions.col("label") === 0)
+        .orderBy(org.apache.spark.sql.functions.col("vec_id")).limit(20)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      // HLL per-cell relative error vs exact (unfiltered cells) — the
+      // error-bound-guard metric
+      locally {
+        import org.apache.spark.sql.functions.{col, abs, max, approx_count_distinct, countDistinct}
+        val ev = spark.read.parquet(s"$dir/events.parquet")
+          .select(col("user_id"), graft.ops.Blocks.gridCell(col("value"), 5.0).as("cell"))
+        val a = ev.groupBy("cell").agg(approx_count_distinct(col("user_id")).as("a"))
+        val e = ev.groupBy("cell").agg(countDistinct(col("user_id")).as("e"))
+        val j = a.join(e, Seq("cell"))
+        val maxErr = j.agg(max(abs(col("a") - col("e")) / col("e"))).head().getDouble(0)
+        println(s"hll_max_rel_err: $maxErr")
+        for (floor <- Seq(10, 20)) {
+          val m = j.where(col("e") >= floor)
+            .agg(max(abs(col("a") - col("e")) / col("e"))).head().getDouble(0)
+          println(s"hll_max_rel_err_exact_ge_$floor: $m")
+        }
+      }
+      for (nProbe <- Seq(4, 6, 8); km <- Seq(0, 5)) {
+        val ivf = graft.ann.Ann.ivfTopK(spark, qs, emb, "vec_id", "embedding", 5,
+            numLists = 16, nProbe = nProbe, kmeansIters = km)
+          .select("query_id", "neighbor_id")
+        val hits = ivf.join(brute, Seq("query_id", "neighbor_id"), "left_semi").count()
+        println(s"ann_ivf_recall_at_k nProbe=$nProbe km=$km: $hits / $nBrute = ${hits.toDouble / nBrute}")
+      }
     }
     spark.stop()
   }

@@ -1,6 +1,9 @@
 package graft.viz
 
-import org.apache.spark.sql.DataFrame
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ops.Sequences
@@ -102,5 +105,109 @@ object VizPrep {
         lit("]}}")
       ).as("geojson")
     slim.select(outCols: _*)
+  }
+
+  /** Leaflet viewer shell — the reference's index.html + per-path
+    * geojson/ directory (/root/reference/src/Visualizer.jl:108-183),
+    * completing the S11 surface end to end. The heavy lifting
+    * (downsample, cap, ordered assembly) is [[geoJsonLines]] — a
+    * distributed plan; this sink then writes one FeatureCollection file
+    * per selected session plus the HTML wrapper. The viewer regime is
+    * inherently driver-sized (a human looks at tens of paths, not 10^9),
+    * so sessions are capped at `maxSessions` with deterministic
+    * selection (ascending session key) and the collect is bounded by
+    * maxSessions * cap points by construction. Returns the number of
+    * geojson files written.
+    */
+  def writeLeafletViewer(
+      spark: SparkSession,
+      points: DataFrame,
+      sessionCol: String,
+      orderCols: Seq[String],
+      xCol: String,
+      yCol: String,
+      outDir: String,
+      every: Int = 1,
+      cap: Int = 10000,
+      maxSessions: Int = 50
+  ): Int = {
+    val extentRow = points
+      .agg(
+        min(col(xCol).cast("double")), max(col(xCol).cast("double")),
+        min(col(yCol).cast("double")), max(col(yCol).cast("double")))
+      .head()
+    require(!extentRow.isNullAt(0), s"writeLeafletViewer: no coordinates in input")
+    val centerX = (extentRow.getDouble(0) + extentRow.getDouble(1)) / 2
+    val centerY = (extentRow.getDouble(2) + extentRow.getDouble(3)) / 2
+
+    val lines = geoJsonLines(points, sessionCol, orderCols, xCol, yCol, every, cap)
+      .orderBy(col("session").asc)
+      .limit(maxSessions)
+      .select(col("session").cast("string"), col("geojson"))
+      .collect()
+    require(lines.nonEmpty, "writeLeafletViewer: no sessions to plot")
+
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(base, "geojson"))
+    def writeFile(p: Path, content: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    def safe(name: String) = name.replaceAll("[^A-Za-z0-9._-]", "_")
+
+    val files = lines.map { r =>
+      val session = r.getString(0)
+      val fname = s"${safe(session)}.geojson"
+      writeFile(
+        new Path(base, s"geojson/$fname"),
+        s"""{"type":"FeatureCollection","features":[${r.getString(1)}]}""")
+      (fname, session)
+    }
+
+    // same shell structure as the reference: leaflet css/js, one fetch
+    // per geojson file, per-index styling, popup with session + points
+    val layerJs = files.zipWithIndex.map { case ((fname, session), i) =>
+      val jsSession = session.replace("\\", "\\\\").replace("'", "\\'")
+      s"""    fetch('geojson/$fname').then(r => r.json()).then(data => {
+         |      L.geoJSON(data, {
+         |        style: () => styleByIndex($i),
+         |        onEachFeature: (feature, layer) => {
+         |          const props = feature.properties || {};
+         |          layer.bindPopup('Session: ' + (props.session || '$jsSession'));
+         |        }
+         |      }).addTo(map);
+         |    }).catch(e => console.warn('Failed to load $fname', e));""".stripMargin
+    }.mkString("\n")
+    val html =
+      s"""<!doctype html>
+         |<html>
+         |<head>
+         |  <meta charset="utf-8" />
+         |  <meta name="viewport" content="width=device-width, initial-scale=1.0">
+         |  <title>graft Leaflet Viewer</title>
+         |  <link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css" />
+         |  <style> html, body, #map { height: 100%; margin: 0; padding: 0; } </style>
+         |</head>
+         |<body>
+         |  <div id="map"></div>
+         |  <script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+         |  <script>
+         |    const map = L.map('map').setView([$centerY, $centerX], 13);
+         |    L.tileLayer('https://{s}.tile.openstreetmap.org/{z}/{x}/{y}.png', {
+         |      maxZoom: 19, attribution: '&copy; OpenStreetMap contributors'
+         |    }).addTo(map);
+         |    function styleByIndex(i) {
+         |      const colors = ['#1f77b4','#ff7f0e','#2ca02c','#d62728','#9467bd','#8c564b','#e377c2','#7f7f7f','#bcbd22','#17becf'];
+         |      return { color: colors[i % colors.length], weight: 3, opacity: 0.8 };
+         |    }
+         |$layerJs
+         |  </script>
+         |</body>
+         |</html>
+         |""".stripMargin
+    writeFile(new Path(base, "index.html"), html)
+    files.length
   }
 }

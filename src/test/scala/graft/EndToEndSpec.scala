@@ -99,4 +99,27 @@ class EndToEndSpec extends SparkSpec {
     assert(out("a")._3.contains("[1.0,2.0],[3.0,4.0],[5.0,6.0]")) // order respected
     assert(out("b")._3.contains("\"type\":\"LineString\""))
   }
+
+  test("leaflet viewer shell: index.html + one FeatureCollection per session, capped + deterministic") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 2, 3.0, 4.0), ("a", 1, 1.0, 2.0),
+      ("b", 1, 0.5, 0.5), ("b", 2, 0.7, 0.9),
+      ("c", 1, 9.0, 9.0), ("c", 2, 9.5, 9.5)
+    ).toDF("sess", "ord", "x", "y")
+    val out = java.nio.file.Files.createTempDirectory("graft_leaflet").toString
+    // maxSessions=2 keeps sessions a and b (ascending key), drops c
+    val n = VizPrep.writeLeafletViewer(spark, rows, "sess", Seq("ord"), "x", "y", out, maxSessions = 2)
+    assert(n == 2)
+    val html = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "index.html")))
+    assert(html.contains("leaflet@1.9.4") && html.contains("setView"))
+    assert(html.contains("geojson/a.geojson") && html.contains("geojson/b.geojson"))
+    assert(!html.contains("geojson/c.geojson"))
+    val fcA = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out, "geojson", "a.geojson")))
+    assert(fcA.startsWith("""{"type":"FeatureCollection","features":["""))
+    assert(fcA.contains("[1.0,2.0],[3.0,4.0]")) // ordered linestring inside
+    // center = bbox midpoint over ALL points (c included in extent):
+    // x and y both span [0.5, 9.5] -> center (5.0, 5.0)
+    assert(html.contains("setView([5.0, 5.0]"), html.split("\n").find(_.contains("setView")).mkString)
+  }
 }
