@@ -123,6 +123,24 @@ object SparkEntry {
       Dedup.cosinePairs(read(s, dir, "embeddings"), "vec_id", "embedding", 0.25).cache()
     }
 
+  /** Contamination report (eval slice = doc_id % 20 == 0), shared by
+    * q_decontam and q_decontam_clean — a user flags once and derives
+    * both the report and the cleaned corpus from it. Same lifecycle as
+    * the other memos.
+    */
+  private val decontamCache: Memo[DataFrame] = scala.collection.concurrent.TrieMap.empty
+  private def decontamReport(s: SparkSession, dir: String): DataFrame =
+    memoized(decontamCache, s, dir) {
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      Decontam
+        .contaminationReport(
+          s,
+          docs.where(col("doc_id") % 20 =!= 0),
+          docs.where(col("doc_id") % 20 === 0),
+          "doc_id", "text", "text", 3)
+        .cache()
+    }
+
   /** Materialize the sf-dir KG pipeline (the shared input of the kg_*
     * queries) and return (vertices, edges) counts. Bench calls this
     * BEFORE the per-query loop so the pipeline build is timed as its
@@ -382,14 +400,16 @@ object SparkEntry {
     //      distinct-shared-gram counts. Eval grams broadcast; corpus
     //      shingles stream through the broadcast join — text never
     //      shuffles.
-    "q_decontam" -> ((s, dir) => {
-      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
-      Decontam.contaminationReport(
-        s,
-        docs.where(col("doc_id") % 20 =!= 0),
-        docs.where(col("doc_id") % 20 === 0),
-        "doc_id", "text", "text", 3)
-    }),
+    "q_decontam" -> ((s, dir) => decontamReport(s, dir)),
+
+    // ---- the cleaned-corpus side of decontamination: surviving doc
+    //      ids (anti-join on the narrow id key against the memoized
+    //      report — the policy a training pipeline actually applies)
+    "q_decontam_clean" -> ((s, dir) =>
+      read(s, dir, "documents")
+        .where(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"))
+        .join(decontamReport(s, dir).select(col("doc_id")), Seq("doc_id"), "left_anti")),
 
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
     //      against the exact-Jaccard oracle in DedupSpec)
@@ -904,8 +924,10 @@ object SparkEntry {
       import s.implicits._
       val edges = kgResult(s, dir).edges.toDF()
       edges.createOrReplaceTempView("kg_edges_v")
+      // one Spark job per check: both except directions in a single
+      // plan, short-circuited by limit(1)
       def matches(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).limit(1).count() == 0 && b.exceptAll(a).limit(1).count() == 0
+        a.exceptAll(b).union(b.exceptAll(a)).limit(1).count() == 0
       val coocSql = s.sql(
         """SELECT least(subj, obj) AS entity_a, greatest(subj, obj) AS entity_b,
           |       count(DISTINCT conv_id) AS n_convs, count(*) AS n_assertions
@@ -1227,6 +1249,23 @@ object SparkEntry {
           |cgrams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
           |SELECT doc_id, count(*) AS n_shared_grams
           |FROM cgrams JOIN egrams USING (gram) GROUP BY doc_id""".stripMargin,
+      // the surviving (uncontaminated) corpus ids: same shingle replay,
+      // anti-joined
+      "q_decontam_clean" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))
+          |    END) AS gram
+          |  FROM toks),
+          |egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+          |flagged AS (
+          |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0)
+          |SELECT doc_id FROM documents
+          |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
       "q_cosine_pairs" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
