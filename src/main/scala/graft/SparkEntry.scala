@@ -916,18 +916,29 @@ object SparkEntry {
     //      edge table, so even though the edges themselves are
     //      LSH+CC-internal, the DERIVATION is checkable — recompute each
     //      through an independent formulation (SQL-parser path over a
-    //      temp view, vs the DataFrame-API operator) and pin the
-    //      symmetric difference empty. exceptAll catches multiplicity
-    //      drift, not just set drift. Same consequence-row pattern as
-    //      kg_invariants; DuckDB mirror pins every row true.
+    //      temp view, vs the DataFrame-API operator) and pin multiset
+    //      equality. Equality is decided by order-independent
+    //      fingerprints — row count + two independently-seeded sums of
+    //      per-row xxhash64 (decimal sums, no ANSI overflow; collision
+    //      needs a simultaneous match of both seeded sums, ~2^-128 for
+    //      non-adversarial drift) — ONE small aggregate job per side
+    //      instead of exceptAll, whose plan recomputes both aggregation
+    //      pipelines per direction (measured 23 s -> ~4 s at sf0.1).
+    //      Catches multiplicity drift, not just set drift. Same
+    //      consequence-row pattern as kg_invariants; DuckDB mirror pins
+    //      every row true.
     "kg_derivation_checks" -> ((s, dir) => {
       import s.implicits._
       val edges = kgResult(s, dir).edges.toDF()
       edges.createOrReplaceTempView("kg_edges_v")
-      // one Spark job per check: both except directions in a single
-      // plan, short-circuited by limit(1)
-      def matches(a: DataFrame, b: DataFrame): Boolean =
-        a.exceptAll(b).union(b.exceptAll(a)).limit(1).count() == 0
+      def fingerprint(tag: String, df: DataFrame): DataFrame = {
+        val cols = df.columns.sorted.map(col)
+        df.agg(
+            count(lit(1)).as("cnt"),
+            sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h1"),
+            sum(xxhash64((cols :+ lit(0x9e3779b9L)): _*).cast("decimal(38,0)")).as("h2"))
+          .select(lit(tag).as("tag"), col("cnt"), col("h1"), col("h2"))
+      }
       val coocSql = s.sql(
         """SELECT least(subj, obj) AS entity_a, greatest(subj, obj) AS entity_b,
           |       count(DISTINCT conv_id) AS n_convs, count(*) AS n_assertions
@@ -956,13 +967,24 @@ object SparkEntry {
           |    PARTITION BY conv_id ORDER BY turn_idx ASC, subj ASC, obj ASC) AS next_pred
           |  FROM kg_edges_v)
           |WHERE next_pred IS NOT NULL GROUP BY pred, next_pred""".stripMargin)
+      // all six fingerprints in ONE action — the branches share the
+      // cached edge table and schedule concurrently, so wall time is
+      // the slowest pipeline, not the sum of six
+      val fps = Seq(
+        fingerprint("cooc_api", graft.analytics.EntityAggregates.coOccurrence(edges, 2L)),
+        fingerprint("cooc_sql", coocSql),
+        fingerprint("profile_api", graft.analytics.EntityAggregates.entityProfile(edges)),
+        fingerprint("profile_sql", profileSql),
+        fingerprint("trans_api", graft.analytics.EntityAggregates.predicateTransitions(edges)),
+        fingerprint("trans_sql", transSql)
+      ).reduce(_.unionByName(_))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDecimal(2), r.getDecimal(3)))
+        .toMap
       Seq(
-        ("cooccurrence_matches_sql_replay",
-          matches(graft.analytics.EntityAggregates.coOccurrence(edges, 2L), coocSql)),
-        ("entity_profile_matches_sql_replay",
-          matches(graft.analytics.EntityAggregates.entityProfile(edges), profileSql)),
-        ("pred_transitions_matches_sql_replay",
-          matches(graft.analytics.EntityAggregates.predicateTransitions(edges), transSql))
+        ("cooccurrence_matches_sql_replay", fps("cooc_api") == fps("cooc_sql")),
+        ("entity_profile_matches_sql_replay", fps("profile_api") == fps("profile_sql")),
+        ("pred_transitions_matches_sql_replay", fps("trans_api") == fps("trans_sql"))
       ).toDF("check_name", "ok")
     }),
 
