@@ -8,6 +8,7 @@ import graft.dedup.{Decontam, Dedup}
 import graft.functions.Geo
 import graft.kg.Dictionary
 import graft.ops.{Blocks, Sequences, Stats}
+import graft.sampling.Sampling
 import graft.pipeline.KGPipeline
 import graft.synth.{GenConfig, TranscriptGen}
 import graft.text.TextOps
@@ -410,6 +411,22 @@ object SparkEntry {
         .where(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"))
         .join(decontamReport(s, dir).select(col("doc_id")), Seq("doc_id"), "left_anti")),
+
+    // ---- training-mix: deterministic stratified sampling by language
+    //      (per-stratum Bernoulli on a Lehmer id-hash — reproducible on
+    //      any engine; narrow filter, zero shuffles)
+    "q_sample_stratified" -> ((s, dir) =>
+      Sampling
+        .stratified(read(s, dir, "documents"), "lang", "doc_id",
+          Map("en" -> 0.5, "zh" -> 0.25), 0.1)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- training-mix: per-source token budget (running sum in
+    //      deterministic order; whole documents only)
+    "q_token_budget" -> ((s, dir) =>
+      Sampling
+        .tokenBudgetCap(read(s, dir, "documents"), "source", Seq("doc_id"), "n_chars", 4000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
     //      against the exact-Jaccard oracle in DedupSpec)
@@ -1288,6 +1305,20 @@ object SparkEntry {
           |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0)
           |SELECT doc_id FROM documents
           |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+      // golden-ratio id-hash replayed digit-for-digit (exact 64-bit
+      // integer arithmetic in both engines; the division is IEEE double
+      // of an exactly-representable < 2^31 integer)
+      "q_sample_stratified" ->
+        """SELECT doc_id, lang FROM documents
+          |WHERE ((doc_id % 2147483647) * 1327217885 % 2147483647) / 2147483647.0 <
+          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
+      "q_token_budget" ->
+        """SELECT doc_id, source, n_chars FROM (
+          |  SELECT doc_id, source, n_chars,
+          |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ASC
+          |      ROWS UNBOUNDED PRECEDING) AS running
+          |  FROM documents)
+          |WHERE running <= 4000""".stripMargin,
       "q_cosine_pairs" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
