@@ -287,6 +287,12 @@ object BinaryOps {
 
     def encode(jpegFrames: Seq[Array[Byte]], width: Int, height: Int, fps: Int): Array[Byte] = {
       require(jpegFrames.nonEmpty && fps > 0)
+      // RIFF sizes are u32 and this builder addresses with Ints: refuse
+      // inputs that would wrap (a >2 GiB clip belongs in a chunked
+      // container, not a single in-memory AVI)
+      require(
+        jpegFrames.map(f => f.length.toLong + 9).sum + 4096 <= Int.MaxValue,
+        "total frame payload too large for a single RIFF/AVI container")
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
       def fourcc(s: String): Unit = out.write(s.getBytes(Ascii))

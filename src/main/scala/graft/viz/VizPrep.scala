@@ -157,9 +157,15 @@ object VizPrep {
     }
     def safe(name: String) = name.replaceAll("[^A-Za-z0-9._-]", "_")
 
+    // sanitizing can collide two distinct session names ("a b" / "a_b");
+    // disambiguate with a numeric suffix instead of silently overwriting
+    val seen = scala.collection.mutable.HashMap.empty[String, Int]
     val files = lines.map { r =>
       val session = r.getString(0)
-      val fname = s"${safe(session)}.geojson"
+      val stem = safe(session)
+      val n = seen.getOrElse(stem, 0)
+      seen(stem) = n + 1
+      val fname = if (n == 0) s"$stem.geojson" else s"${stem}_$n.geojson"
       writeFile(
         new Path(base, s"geojson/$fname"),
         s"""{"type":"FeatureCollection","features":[${r.getString(1)}]}""")
