@@ -412,6 +412,19 @@ object SparkEntry {
         .select(col("doc_id"))
         .join(decontamReport(s, dir).select(col("doc_id")), Seq("doc_id"), "left_anti")),
 
+    // ---- decontamination attribution: which eval doc each corpus doc
+    //      collides with (distinct shared-gram count per pair) — the
+    //      leak-triage view; same broadcast plan as the report
+    "q_decontam_matrix" -> ((s, dir) => {
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("text"))
+      Decontam.contaminationMatrix(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0)
+          .select(col("doc_id").as("eval_doc_id"), col("text")),
+        "doc_id", "text", "eval_doc_id", "text", 3)
+    }),
+
     // ---- training-mix: deterministic stratified sampling by language
     //      (per-stratum Bernoulli on a Lehmer id-hash — reproducible on
     //      any engine; narrow filter, zero shuffles)
@@ -1305,6 +1318,20 @@ object SparkEntry {
           |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0)
           |SELECT doc_id FROM documents
           |WHERE doc_id % 20 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin,
+      "q_decontam_matrix" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))
+          |    END) AS gram
+          |  FROM toks),
+          |egrams AS (SELECT DISTINCT doc_id AS eval_doc_id, gram FROM grams WHERE doc_id % 20 = 0),
+          |cgrams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
+          |SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared_grams
+          |FROM cgrams c JOIN egrams e USING (gram) GROUP BY 1, 2""".stripMargin,
       // golden-ratio id-hash replayed digit-for-digit (exact 64-bit
       // integer arithmetic in both engines; the division is IEEE double
       // of an exactly-representable < 2^31 integer)

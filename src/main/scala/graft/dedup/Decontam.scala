@@ -76,4 +76,87 @@ object Decontam {
       .select(col(idCol))
     corpus.join(flagged, Seq(idCol), "left_anti")
   }
+
+  /** Per-(corpus doc, eval doc) contamination attribution: which eval
+    * document each corpus document collides with, and on how many
+    * distinct shared grams — the view an eval owner needs to decide
+    * whether a hit is a real leak or a ubiquitous phrase. Same
+    * broadcast plan as [[contaminationReport]]; the output fans out
+    * only on actual collisions.
+    */
+  def contaminationMatrix(
+      spark: SparkSession,
+      corpus: DataFrame, // (idCol, textCol)
+      eval: DataFrame, // (evalIdCol, evalTextCol)
+      idCol: String,
+      textCol: String,
+      evalIdCol: String,
+      evalTextCol: String,
+      shingleN: Int = 3
+  ): DataFrame = {
+    import spark.implicits._
+    val evalGrams = eval
+      .select(col(evalIdCol).cast("long"), col(evalTextCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => Dedup.wordShingles(t, shingleN).map(g => (id, g)) }
+      .toDF("eval_id", "gram")
+    val corpusGrams = corpus
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) => Dedup.wordShingles(t, shingleN).map(g => (id, g)) }
+      .toDF("corpus_id", "gram")
+    // wordShingles dedups within each document, so count(*) per
+    // (corpus_id, eval_id) IS the distinct shared-gram count
+    corpusGrams
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy(col("corpus_id").as(idCol), col("eval_id").as(evalIdCol))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Eval-side broadcast gram set for the STREAMING flagger: the eval
+    * slice is tiny by construction (benchmarks are thousands of docs),
+    * so its distinct gram hashes collect to the driver and broadcast
+    * once. Refuses surprisingly-large eval sets instead of silently
+    * building an oversized broadcast.
+    */
+  def evalGramSet(
+      spark: SparkSession,
+      eval: DataFrame,
+      evalTextCol: String,
+      shingleN: Int = 3,
+      maxGrams: Int = 50000000
+  ): org.apache.spark.broadcast.Broadcast[scala.collection.Set[Long]] = {
+    import spark.implicits._
+    val grams = eval
+      .select(col(evalTextCol).cast("string"))
+      .as[String]
+      .flatMap(t => Dedup.wordShingles(t, shingleN))
+      .distinct()
+      .as[Long]
+      .collect()
+    require(grams.length <= maxGrams,
+      s"eval gram set (${grams.length}) exceeds maxGrams=$maxGrams — not a broadcastable eval slice")
+    spark.sparkContext.broadcast(grams.toSet: scala.collection.Set[Long])
+  }
+
+  /** Streaming decontamination flagger: stateless per-row check of a
+    * streamed corpus against the broadcast eval gram set — appends
+    * `contaminated` (any shared gram) and `n_shared_grams` columns.
+    * No watermark, no state store: ingestion-time filtering is a pure
+    * map, which is exactly why it scales to an unbounded stream
+    * (the batch [[contaminationReport]] remains the corpus-level
+    * audit). Works identically on batch and streaming DataFrames.
+    */
+  def streamingDecontamFlag(
+      df: DataFrame, // batch OR streaming, carries textCol
+      textCol: String,
+      evalGrams: org.apache.spark.broadcast.Broadcast[scala.collection.Set[Long]],
+      shingleN: Int = 3
+  ): DataFrame = {
+    val nShared = udf { (t: String) =>
+      if (t == null) 0 else Dedup.wordShingles(t, shingleN).count(evalGrams.value.contains)
+    }
+    df.withColumn("n_shared_grams", nShared(col(textCol)))
+      .withColumn("contaminated", col("n_shared_grams") > 0)
+  }
 }

@@ -73,4 +73,67 @@ class DecontamSpec extends SparkSpec {
       Decontam.contaminationReport(spark, cleaned, ev, "doc_id", "text", "text", 3)
         .count() == 0L)
   }
+
+  test("decontam matrix: per-(corpus, eval) attribution equals brute force; marginals match report") {
+    import spark.implicits._
+    val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val evalRows = d.filter(_._1 % 20 == 0)
+    val corpusRows = d.filter(_._1 % 20 != 0)
+    val evalGramsById = evalRows.map { case (id, t) => id -> Dedup.wordShingles(t, 3).toSet }
+    val want = (for {
+      (cid, t) <- corpusRows
+      cg = Dedup.wordShingles(t, 3).toSet
+      (eid, eg) <- evalGramsById
+      n = (cg & eg).size
+      if n > 0
+    } yield ((cid, eid), n.toLong)).toMap
+    val corpus = spark.createDataset(corpusRows.toSeq).toDF("doc_id", "text")
+    val ev = spark.createDataset(evalRows.toSeq).toDF("eval_doc_id", "text")
+    val got = Decontam
+      .contaminationMatrix(spark, corpus, ev, "doc_id", "text", "eval_doc_id", "text", 3)
+      .as[(Long, Long, Long)].collect().map { case (c, e, n) => ((c, e), n) }.toMap
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    assert(got.nonEmpty)
+    // the matrix's per-corpus-doc DISTINCT-gram marginal is NOT simply
+    // the row-sum (a gram shared with two eval docs counts once in the
+    // report) — check the flagged-id set matches instead
+    val reportIds = Decontam
+      .contaminationReport(spark, corpus,
+        ev.select(col("text")), "doc_id", "text", "text", 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got.keySet.map(_._1) == reportIds)
+  }
+
+  test("decontam streaming flag: stateless stream flagging matches the batch report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = spark.read.parquet(docs).select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().take(120)
+    val evalRows = d.filter(_._1 % 20 == 0)
+    val corpusRows = d.filter(_._1 % 20 != 0)
+    val bc = Decontam.evalGramSet(
+      spark, spark.createDataset(evalRows.toSeq).toDF("doc_id", "text"), "text", 3)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val flagged = Decontam.streamingDecontamFlag(
+      input.toDS().toDF("doc_id", "text"), "text", bc, 3)
+    val q = flagged.writeStream.format("memory").queryName("stream_decontam")
+      .outputMode("append").start()
+    input.addData(corpusRows.take(30).toSeq)
+    q.processAllAvailable()
+    input.addData(corpusRows.drop(30).toSeq) // second micro-batch
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT doc_id, n_shared_grams, contaminated FROM stream_decontam")
+      .as[(Long, Int, Boolean)].collect()
+    assert(got.length == corpusRows.length)
+    val evalGrams = evalRows.flatMap(r => Dedup.wordShingles(r._2, 3)).toSet
+    got.foreach { case (id, n, c) =>
+      val expected = Dedup.wordShingles(corpusRows.find(_._1 == id).get._2, 3).count(evalGrams.contains)
+      assert(n == expected && c == (expected > 0), s"doc $id")
+    }
+    assert(got.exists(_._3) && got.exists(!_._3)) // non-vacuous both ways
+  }
 }
