@@ -113,19 +113,22 @@ object Decontam {
       .agg(count(lit(1)).as("n_shared_grams"))
   }
 
-  /** Eval-side broadcast gram set for the STREAMING flagger: the eval
-    * slice is tiny by construction (benchmarks are thousands of docs),
-    * so its distinct gram hashes collect to the driver and broadcast
-    * once. Refuses surprisingly-large eval sets instead of silently
-    * building an oversized broadcast.
+  /** Eval-side broadcast gram table for the STREAMING flagger: the
+    * eval slice is tiny by construction (benchmarks are thousands of
+    * docs), so its distinct gram hashes collect to the driver and
+    * broadcast once — as a SORTED unboxed Array[Long] (8 bytes/gram;
+    * the default cap of 5M grams is a ~40 MB broadcast) probed by
+    * binary search, not a boxed Set (which would multiply memory ~8x
+    * and defeat the cap). Refuses surprisingly-large eval sets instead
+    * of silently building an oversized broadcast.
     */
   def evalGramSet(
       spark: SparkSession,
       eval: DataFrame,
       evalTextCol: String,
       shingleN: Int = 3,
-      maxGrams: Int = 50000000
-  ): org.apache.spark.broadcast.Broadcast[scala.collection.Set[Long]] = {
+      maxGrams: Int = 5000000
+  ): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     import spark.implicits._
     val grams = eval
       .select(col(evalTextCol).cast("string"))
@@ -136,25 +139,29 @@ object Decontam {
       .collect()
     require(grams.length <= maxGrams,
       s"eval gram set (${grams.length}) exceeds maxGrams=$maxGrams — not a broadcastable eval slice")
-    spark.sparkContext.broadcast(grams.toSet: scala.collection.Set[Long])
+    java.util.Arrays.sort(grams)
+    spark.sparkContext.broadcast(grams)
   }
 
   /** Streaming decontamination flagger: stateless per-row check of a
-    * streamed corpus against the broadcast eval gram set — appends
-    * `contaminated` (any shared gram) and `n_shared_grams` columns.
-    * No watermark, no state store: ingestion-time filtering is a pure
-    * map, which is exactly why it scales to an unbounded stream
-    * (the batch [[contaminationReport]] remains the corpus-level
-    * audit). Works identically on batch and streaming DataFrames.
+    * streamed corpus against the broadcast sorted eval gram table —
+    * appends `contaminated` (any shared gram) and `n_shared_grams`
+    * columns. No watermark, no state store: ingestion-time filtering
+    * is a pure map, which is exactly why it scales to an unbounded
+    * stream (the batch [[contaminationReport]] remains the
+    * corpus-level audit). Works identically on batch and streaming
+    * DataFrames.
     */
   def streamingDecontamFlag(
       df: DataFrame, // batch OR streaming, carries textCol
       textCol: String,
-      evalGrams: org.apache.spark.broadcast.Broadcast[scala.collection.Set[Long]],
+      evalGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
       shingleN: Int = 3
   ): DataFrame = {
     val nShared = udf { (t: String) =>
-      if (t == null) 0 else Dedup.wordShingles(t, shingleN).count(evalGrams.value.contains)
+      if (t == null) 0
+      else Dedup.wordShingles(t, shingleN)
+        .count(g => java.util.Arrays.binarySearch(evalGrams.value, g) >= 0)
     }
     df.withColumn("n_shared_grams", nShared(col(textCol)))
       .withColumn("contaminated", col("n_shared_grams") > 0)

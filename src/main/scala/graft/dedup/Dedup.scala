@@ -32,6 +32,11 @@ object Dedup {
     * rides the group-by exchange, and survivors are restored by a
     * left-semi join on the narrow id. Same answer, ~half the shuffled
     * bytes of the window form at document-sized keys.
+    *
+    * Contract: `idCol` must be a UNIQUE, NON-NULL row id (the usual
+    * primary key — every caller in this library passes one). With
+    * duplicate ids the semi-join keeps every row carrying a winning
+    * id; with all-null ids a key group has no min and vanishes.
     */
   def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
     val winners = df

@@ -143,6 +143,25 @@ object VectorExpressions {
     * forwarders); the JIT inlines it. Inputs are COPIES (toLongArray),
     * sorted in place, then merge-walked.
     */
+  /** Extraction with a readable null-element error. `mayContainNull`
+    * is the STATIC schema flag: typed array<bigint not null> inputs
+    * skip the scan entirely. Public so generated code can call it.
+    */
+  def toLongArrayChecked(a: ArrayData, mayContainNull: Boolean): Array[Long] = {
+    if (mayContainNull) {
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        if (a.isNullAt(i))
+          throw new IllegalArgumentException(
+            "jaccard_distinct: null array element at position " + i +
+              " — shingle arrays must contain non-null bigints")
+        i += 1
+      }
+    }
+    a.toLongArray()
+  }
+
   def jaccardDistinctKernel(xs: Array[Long], ys: Array[Long]): Double = {
     java.util.Arrays.sort(xs)
     java.util.Arrays.sort(ys)
@@ -170,13 +189,15 @@ object VectorExpressions {
   case class JaccardDistinct(left: Expression, right: Expression) extends BinaryExpression {
 
     private def checkArr(t: DataType, side: String): TypeCheckResult = t match {
-      // containsNull arrays are rejected at analysis time: toLongArray
-      // throws an opaque runtime error on a null element, so surface the
-      // contract (distinct non-null shingle IDs) before execution.
-      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      // containsNull=true is ACCEPTED: parquet-sourced list columns are
+      // always typed nullable-element regardless of the data, so
+      // rejecting them at analysis time would break valid callers. A
+      // null ELEMENT at runtime raises a readable error instead of
+      // toLongArray's opaque one (see toLongArrayChecked).
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
       case other =>
         TypeCheckResult.TypeCheckFailure(
-          s"$side must be array<bigint> with non-null elements, got $other")
+          s"$side must be array<bigint> (non-null elements), got $other")
     }
     override def checkInputDataTypes(): TypeCheckResult =
       checkArr(left.dataType, "left") match {
@@ -185,16 +206,22 @@ object VectorExpressions {
       }
     override def dataType: DataType = DoubleType
 
+    // static-type flags: the null scan runs only when the schema says
+    // elements MAY be null, so typed-Encoder callers pay nothing
+    private def leftMayNull = left.dataType.asInstanceOf[ArrayType].containsNull
+    private def rightMayNull = right.dataType.asInstanceOf[ArrayType].containsNull
+
     override def nullSafeEval(a: Any, b: Any): Any =
       jaccardDistinctKernel(
-        a.asInstanceOf[ArrayData].toLongArray(),
-        b.asInstanceOf[ArrayData].toLongArray())
+        toLongArrayChecked(a.asInstanceOf[ArrayData], leftMayNull),
+        toLongArrayChecked(b.asInstanceOf[ArrayData], rightMayNull))
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
         s"""
            |${ev.value} = graft.functions.VectorExpressions.jaccardDistinctKernel(
-           |  $a.toLongArray(), $b.toLongArray());
+           |  graft.functions.VectorExpressions.toLongArrayChecked($a, $leftMayNull),
+           |  graft.functions.VectorExpressions.toLongArrayChecked($b, $rightMayNull));
            |""".stripMargin)
 
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =

@@ -37,6 +37,18 @@ object BinaryOps {
 
   val FeatureDim = 16
 
+  /** Decode-or-None for any ImageIO-readable payload. ImageIO plugin
+    * readers can throw RuntimeExceptions (not just IOException) on
+    * malformed bytes; every decode site must fall back to the stub
+    * rather than failing the Spark task, so the guard lives here once.
+    */
+  private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case scala.util.control.NonFatal(_) => null }
+    Option(img)
+  }
+
   /** STUB decoder — the fallback for payloads whose codec the JDK
     * cannot decode (mp4/h264/vp9 etc.; PNG/WAV/MJPEG-AVI use the real
     * codecs above/below): derives a deterministic feature vector from
@@ -79,12 +91,7 @@ object BinaryOps {
 
     /** None when the payload is not decodable as an image. */
     def decodeAndFeaturize(payload: Array[Byte]): Option[Array[Float]] = {
-      // ImageIO plugin readers can throw RuntimeExceptions (not just
-      // IOException) on malformed payloads; any decode failure must fall
-      // back to the stub rather than failing the Spark task.
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-        catch { case scala.util.control.NonFatal(_) => null }
+      val img = readImage(payload).orNull
       if (img == null) None
       else {
         val w = img.getWidth
@@ -289,9 +296,10 @@ object BinaryOps {
       require(jpegFrames.nonEmpty && fps > 0)
       // RIFF sizes are u32 and this builder addresses with Ints: refuse
       // inputs that would wrap (a >2 GiB clip belongs in a chunked
-      // container, not a single in-memory AVI)
+      // container, not a single in-memory AVI). Per frame: payload +
+      // pad byte + 8-byte movi chunk header + 16-byte idx1 entry.
       require(
-        jpegFrames.map(f => f.length.toLong + 9).sum + 4096 <= Int.MaxValue,
+        jpegFrames.map(f => f.length.toLong + 25).sum + 4096 <= Int.MaxValue,
         "total frame payload too large for a single RIFF/AVI container")
       val bos = new java.io.ByteArrayOutputStream()
       val out = new java.io.DataOutputStream(bos)
@@ -404,9 +412,7 @@ object BinaryOps {
         var h = 0
         var decoded = 0
         picks.foreach { jb =>
-          val img =
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
-            catch { case scala.util.control.NonFatal(_) => null }
+          val img = readImage(jb).orNull
           if (img != null) {
             decoded += 1
             w = img.getWidth
@@ -569,9 +575,7 @@ object BinaryOps {
         else {
           val real: Option[Array[Byte]] = row.meta.mediaType match {
             case "image/png" =>
-              val img =
-                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.payload))
-                catch { case scala.util.control.NonFatal(_) => null }
+              val img = readImage(row.payload).orNull
               if (img == null) None
               else {
                 val bos = new java.io.ByteArrayOutputStream()
@@ -581,9 +585,7 @@ object BinaryOps {
             case t if t.startsWith("video/") =>
               AviMjpegCodec.decodeFrames(row.payload).flatMap { case (_, _, fps, frames) =>
                 val resized = frames.flatMap { jb =>
-                  val img =
-                    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jb))
-                    catch { case scala.util.control.NonFatal(_) => null }
+                  val img = readImage(jb).orNull
                   if (img == null) None
                   else {
                     val s = resampleImage(img, targetW, targetH)

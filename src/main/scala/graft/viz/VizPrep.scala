@@ -136,7 +136,8 @@ object VizPrep {
         min(col(xCol).cast("double")), max(col(xCol).cast("double")),
         min(col(yCol).cast("double")), max(col(yCol).cast("double")))
       .head()
-    require(!extentRow.isNullAt(0), s"writeLeafletViewer: no coordinates in input")
+    require((0 until 4).forall(i => !extentRow.isNullAt(i)),
+      "writeLeafletViewer: no (castable) coordinates in input")
     val centerX = (extentRow.getDouble(0) + extentRow.getDouble(1)) / 2
     val centerY = (extentRow.getDouble(2) + extentRow.getDouble(3)) / 2
 

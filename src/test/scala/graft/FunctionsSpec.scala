@@ -54,4 +54,27 @@ class FunctionsSpec extends SparkSpec {
     val viaSql = spark.sql("SELECT id, jaccard_distinct(a, b) FROM jd").as[(Long, Double)].collect().toMap
     assert(viaSql == got)
   }
+
+  test("jaccard_distinct accepts parquet-typed nullable-element arrays; null ELEMENT errors readably") {
+    import spark.implicits._
+    import graft.functions.VectorExpressions._
+    // parquet round-trip types list elements containsNull=true even
+    // when the data has no nulls — the expression must still analyze
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jd").toString
+    Seq((1L, Array(1L, 2L, 3L), Array(2L, 3L, 4L))).toDF("id", "a", "b")
+      .write.mode("overwrite").parquet(tmp)
+    val pq = spark.read.parquet(tmp)
+    assert(pq.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val j = pq.select(jaccard_distinct($"a", $"b")).head().getDouble(0)
+    assert(j == 2.0 / 4.0)
+    // an ACTUAL null element raises the contract error, not an opaque NPE
+    graft.functions.GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT jaccard_distinct(array(1L, CAST(NULL AS BIGINT)), array(1L))").collect()
+    }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(err).exists(c => Option(c.getMessage).exists(_.contains("null array element"))),
+      s"got: $err")
+  }
 }
