@@ -9,7 +9,7 @@ import graft.functions.Geo
 import graft.kg.Dictionary
 import graft.ops.{Blocks, Sequences, Stats}
 import graft.sampling.Sampling
-import graft.pipeline.KGPipeline
+import graft.pipeline.{Curation, KGPipeline}
 import graft.synth.{GenConfig, TranscriptGen}
 import graft.text.TextOps
 
@@ -426,6 +426,23 @@ object SparkEntry {
         docs.where(col("doc_id") % 20 === 0)
           .select(col("doc_id").as("eval_doc_id"), col("text")),
         "doc_id", "text", "eval_doc_id", "text", 3)
+    }),
+
+    // ---- end-to-end curation compose: dedup -> decontaminate ->
+    //      quality floor -> stratified sample, every stage the same
+    //      operator its standalone green query uses; the compose itself
+    //      carries the chained oracle
+    "q_curate" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Curation.curate(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text"), col("lang")),
+        docs.where(col("doc_id") % 20 === 0).select(col("text")),
+        "doc_id", "text", "lang", "text",
+        minTokens = 20,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // ---- training-mix: deterministic stratified sampling by language
@@ -1335,6 +1352,43 @@ object SparkEntry {
           |cgrams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
           |SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared_grams
           |FROM cgrams c JOIN egrams e USING (gram) GROUP BY 1, 2""".stripMargin,
+      // the whole curation chain replayed stage-for-stage: the dedup
+      // window, the gram flagging, the token floor, and the
+      // golden-ratio sample are the SAME SQL fragments the standalone
+      // stage oracles use
+      "q_curate" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
+          |normed AS (
+          |  SELECT doc_id, text, lang,
+          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm
+          |  FROM corpus),
+          |dedup AS (
+          |  SELECT doc_id, text, lang FROM (
+          |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+          |    FROM normed) WHERE rn = 1),
+          |toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |grams AS (
+          |  SELECT doc_id, unnest(
+          |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))
+          |    END) AS gram
+          |  FROM toks),
+          |egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+          |flagged AS (
+          |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0),
+          |clean AS (
+          |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+          |qual AS (
+          |  SELECT * FROM clean
+          |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)
+          |SELECT doc_id, lang FROM qual
+          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
+          |        * 1327217885 % 2147483647) / 2147483647.0 <
+          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
       // golden-ratio id-hash replayed digit-for-digit (exact 64-bit
       // integer arithmetic in both engines; the division is IEEE double
       // of an exactly-representable < 2^31 integer). The double-% folds
