@@ -431,7 +431,12 @@ object SparkEntry {
     // ---- end-to-end curation compose: dedup -> decontaminate ->
     //      quality floor -> stratified sample, every stage the same
     //      operator its standalone green query uses; the compose itself
-    //      carries the chained oracle
+    //      carries the chained oracle. Decontamination runs on 6-gram
+    //      windows here: 3-grams over-flag formulaic text (at sf0.1 the
+    //      MEDIAN corpus doc shares 19 3-grams with the eval slice,
+    //      emptying the corpus — measured), while longer windows flag
+    //      only genuine passage reuse; published decontam recipes use
+    //      long windows for exactly this reason (GPT-3: 13-grams).
     "q_curate" -> ((s, dir) => {
       val docs = read(s, dir, "documents")
       Curation.curate(
@@ -441,7 +446,8 @@ object SparkEntry {
         "doc_id", "text", "lang", "text",
         minTokens = 20,
         rates = Map("en" -> 0.5, "zh" -> 0.25),
-        defaultRate = 0.1)
+        defaultRate = 0.1,
+        shingleN = 6)
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -1372,8 +1378,8 @@ object SparkEntry {
           |  FROM documents),
           |grams AS (
           |  SELECT doc_id, unnest(
-          |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-          |         ELSE list_transform(generate_series(1, len(tk) - 2), i -> array_to_string(tk[i:i+2], ' '))
+          |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
+          |         ELSE list_transform(generate_series(1, len(tk) - 5), i -> array_to_string(tk[i:i+5], ' '))
           |    END) AS gram
           |  FROM toks),
           |egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
