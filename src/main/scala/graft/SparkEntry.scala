@@ -461,10 +461,13 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))),
 
     // ---- training-mix: per-source token budget (running sum in
-    //      deterministic order; whole documents only)
+    //      deterministic order; whole documents only). chunkSize=256
+    //      forces the two-phase chunked scan (the 100-TB mega-source
+    //      form) through the oracle, not just the property suite
     "q_token_budget" -> ((s, dir) =>
       Sampling
-        .tokenBudgetCap(read(s, dir, "documents"), "source", Seq("doc_id"), "n_chars", 4000L)
+        .tokenBudgetCap(read(s, dir, "documents"), "source", Seq("doc_id"), "n_chars", 4000L,
+          chunkSize = 256)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
@@ -1392,18 +1395,21 @@ object SparkEntry {
           |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
           |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)
           |SELECT doc_id, lang FROM qual
-          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
-          |        * 1327217885 % 2147483647) / 2147483647.0 <
+          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+          |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+          |      % 2147483647 / 2147483647.0 <
           |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
-      // golden-ratio id-hash replayed digit-for-digit (exact 64-bit
-      // integer arithmetic in both engines; the division is IEEE double
-      // of an exactly-representable < 2^31 integer). The double-% folds
+      // two-residue golden/silver id-hash replayed digit-for-digit
+      // (exact 64-bit integer arithmetic in both engines — the largest
+      // intermediate ~6.5e18 < 2^63; the division is IEEE double of an
+      // exactly-representable < 2^31 integer). The double-% folds
       // DuckDB's signed remainder to Spark's pmod so negative ids agree
       // too.
       "q_sample_stratified" ->
         """SELECT doc_id, lang FROM documents
-          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647)
-          |        * 1327217885 % 2147483647) / 2147483647.0 <
+          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+          |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+          |      % 2147483647 / 2147483647.0 <
           |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
       "q_token_budget" ->
         """SELECT doc_id, source, n_chars FROM (

@@ -3,6 +3,7 @@ package graft.sampling
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** Training-mix construction operators: deterministic sampling and
   * budget capping over a corpus — the steps between curation (dedup /
@@ -15,23 +16,41 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform-in-[0,1) deterministic hash of an id — Fibonacci /
-    * golden-ratio multiplicative hashing (Knuth TAOCP §6.4): x *
-    * floor(phi^-1 * M) mod M with M = 2^31-1. Consecutive ids step by
-    * ~0.618 in [0,1) (low-discrepancy, no monotone prefix — a small-
-    * multiplier LCG like 16807 leaves small ids tiny and ordered).
-    * Chosen over xxhash64 because it is exactly replayable in ANY
-    * engine with 64-bit integer arithmetic (the DuckDB oracle replays
-    * it digit for digit; no overflow: (2^31-2) * 1327217885 < 2^62).
+  private val M1 = 2147483647L // 2^31 - 1 (prime)
+  private val M2 = 2147483629L // the next prime below M1
+  private val A1 = 1327217885L // floor(phi^-1 * M1) — golden-ratio step
+  private val A2 = 1709782614L // chosen so (A1 + A2) mod M1 = floor((sqrt(2)-1) * M1)
+
+  /** Uniform-in-[0,1) deterministic hash of an id: the sum of two
+    * Fibonacci-style multiplicative hashes (Knuth TAOCP §6.4) taken
+    * against two coprime moduli,
+    *
+    *   u(id) = ((id mod M1)·A1 + (id mod M2)·A2) mod M1 / M1
+    *
+    * with M1 = 2^31-1 and M2 = 2^31-19 (both prime). A single residue
+    * would make the coin periodic with period M1 (~2.1e9) — ids
+    * congruent mod M1 would repeat sample membership exactly. The
+    * two-residue form repeats only when BOTH residues agree, i.e. with
+    * period M1·M2 ≈ 4.6e18 (~2^62): effectively the whole non-negative
+    * 64-bit id space. Sequential ids still step low-discrepancy (by
+    * (A1+A2) mod M1 ≈ 0.414·M1, the silver ratio — no monotone prefix;
+    * a small-multiplier LCG like 16807 leaves small ids tiny and
+    * ordered). Chosen over xxhash64 because it is exactly replayable in
+    * ANY engine with 64-bit integer arithmetic (the DuckDB oracle
+    * replays it digit for digit): the largest intermediate,
+    * (M1-1)·A1 + (M2-1)·A2 ≈ 6.5e18, stays below 2^63.
+    * Edge: u(0) = 0, so id 0 is sampled at any positive rate.
     */
   def idUniform(idCol: Column): Column =
-    pmod(pmod(idCol, lit(2147483647L)) * lit(1327217885L), lit(2147483647L)) /
+    pmod(pmod(idCol, lit(M1)) * lit(A1) + pmod(idCol, lit(M2)) * lit(A2), lit(M1)) /
       lit(2147483647.0)
 
   /** Stratified sampling: keep each row with its stratum's rate,
     * decided by [[idUniform]] on the id — per-stratum Bernoulli with a
     * deterministic coin. A narrow filter (no shuffle, no sort); rates
-    * for unlisted strata fall back to `defaultRate`.
+    * for unlisted strata fall back to `defaultRate`. Raising a rate
+    * only ever ADDS rows (the coin is fixed per id), so mixes at
+    * different rates are nested, not resampled.
     */
   def stratified(
       df: DataFrame,
@@ -46,26 +65,102 @@ object Sampling {
     df.where(idUniform(col(idCol)) < rate)
   }
 
+  /** A temp-column name guaranteed absent from `existing` (a caller's
+    * `_running` column must survive the operator untouched).
+    */
+  private def fresh(existing: Set[String], base: String): String = {
+    var name = base
+    var i = 0
+    while (existing.contains(name)) { i += 1; name = s"${base}_$i" }
+    name
+  }
+
   /** Per-group token-budget cap: keep rows in deterministic
     * (orderCols) order while the running token total (INCLUDING the
     * current row) stays within `budget` — the "take documents from
-    * each source until its budget is spent" mix rule. One shuffle on
-    * the group key (the window); rows beyond the budget are dropped,
-    * never truncated mid-document.
+    * each source until its budget is spent" mix rule. Rows beyond the
+    * budget are dropped, never truncated mid-document.
+    *
+    * Scale shape: a training mix has a handful of sources with
+    * billions of documents each, so a plain
+    * `Window.partitionBy(source)` would put an ENTIRE source in one
+    * task — the mega-group straggler. When the leading order column is
+    * numeric, the running sum instead uses the two-phase chunked scan
+    * (the same pattern as [[graft.ops.Sequences.cumulativeChunked]]):
+    * phase 1 windows within (group, floor(orderHead / chunkSize)) —
+    * tasks bounded by `chunkSize` rows, not by |source| — and phase 2
+    * adds each chunk's exclusive offset, computed as a running sum
+    * over the tiny per-chunk totals. A non-numeric leading order
+    * column cannot be chunked order-consistently and falls back to the
+    * single-window form (callers at scale should order by a numeric
+    * id, as every caller in this library does).
     */
   def tokenBudgetCap(
       df: DataFrame,
       groupCol: String,
       orderCols: Seq[String],
       tokensCol: String,
+      budget: Long,
+      chunkSize: Int = 1 << 20
+  ): DataFrame = {
+    require(orderCols.nonEmpty, "tokenBudgetCap needs at least one order column")
+    val headNumeric =
+      df.schema.fields.find(_.name == orderCols.head).exists(_.dataType.isInstanceOf[NumericType])
+    if (!headNumeric) return tokenBudgetCapWindowed(df, groupCol, orderCols, tokensCol, budget)
+
+    val names = df.columns.toSet
+    val cChunk = fresh(names, "_tbc_chunk")
+    val cWithin = fresh(names, "_tbc_within")
+    val cGrp = fresh(names, "_tbc_grp")
+    val cChunk2 = fresh(names, "_tbc_chunk2")
+    val cOffset = fresh(names, "_tbc_offset")
+
+    // chunk ids are monotone in the (orderCols) order because rows
+    // sharing the leading value share a chunk and the leading column
+    // orders first — so per-chunk offsets compose into the exact
+    // group-wide running sum
+    val chunked = df.withColumn(cChunk, floor(col(orderCols.head).cast("double") / chunkSize).cast("long"))
+    val wIn = Window
+      .partitionBy(col(groupCol), col(cChunk))
+      .orderBy(orderCols.map(col(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = chunked.withColumn(cWithin, sum(col(tokensCol)).over(wIn))
+
+    val totals = chunked
+      .groupBy(col(groupCol).as(cGrp), col(cChunk).as(cChunk2))
+      .agg(sum(col(tokensCol)).as(cOffset))
+    val wOff = Window
+      .partitionBy(col(cGrp))
+      .orderBy(col(cChunk2))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn(cOffset, coalesce(sum(col(cOffset)).over(wOff), lit(0L)))
+      .select(col(cGrp), col(cChunk2), col(cOffset))
+
+    within
+      .join(offsets, col(groupCol) === col(cGrp) && col(cChunk) === col(cChunk2))
+      .where(col(cWithin) + col(cOffset) <= budget)
+      .drop(cChunk, cWithin, cGrp, cChunk2, cOffset)
+  }
+
+  /** The single-window reference form of [[tokenBudgetCap]] — same
+    * semantics, one task per group (fine when no group is huge; the
+    * property suite pins the chunked form equal to this one).
+    */
+  private[graft] def tokenBudgetCapWindowed(
+      df: DataFrame,
+      groupCol: String,
+      orderCols: Seq[String],
+      tokensCol: String,
       budget: Long
   ): DataFrame = {
+    val cRun = fresh(df.columns.toSet, "_tbc_running")
     val w = Window
       .partitionBy(col(groupCol))
       .orderBy(orderCols.map(col(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("_running", sum(col(tokensCol)).over(w))
-      .where(col("_running") <= budget)
-      .drop("_running")
+    df.withColumn(cRun, sum(col(tokensCol)).over(w))
+      .where(col(cRun) <= budget)
+      .drop(cRun)
   }
 }

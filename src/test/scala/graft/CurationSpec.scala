@@ -42,8 +42,11 @@ class CurationSpec extends SparkSpec {
 
     // stage 4: every survivor's hash is under its stratum rate, and no
     // qualified doc under the rate was dropped (exact sample replay)
-    def goldenHash(id: Long): Double =
-      (id % 2147483647L) * 1327217885L % 2147483647L / 2147483647.0
+    def goldenHash(id: Long): Double = {
+      def pmod(x: Long, m: Long): Long = ((x % m) + m) % m
+      pmod(pmod(id, 2147483647L) * 1327217885L + pmod(id, 2147483629L) * 1709782614L,
+        2147483647L) / 2147483647.0
+    }
     out.foreach { case (id, _, lang) =>
       assert(goldenHash(id) < rates.getOrElse(lang, 0.1), s"doc $id over rate")
     }

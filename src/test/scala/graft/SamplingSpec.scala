@@ -6,17 +6,21 @@ import graft.sampling.Sampling
 
 class SamplingSpec extends SparkSpec {
 
-  private def goldenHash(id: Long): Double =
-    (id % 2147483647L) * 1327217885L % 2147483647L / 2147483647.0
+  // local replay of Sampling.idUniform (two-residue golden/silver hash)
+  private def idHash(id: Long): Double = {
+    def pmod(x: Long, m: Long): Long = ((x % m) + m) % m
+    pmod(pmod(id, 2147483647L) * 1327217885L + pmod(id, 2147483629L) * 1709782614L, 2147483647L) /
+      2147483647.0
+  }
 
-  test("stratified: exact membership vs local golden-ratio replay; threshold coin is monotone") {
+  test("stratified: exact membership vs local two-residue replay; threshold coin is monotone") {
     import spark.implicits._
     val rows = (0L until 2000L).map(i => (i, Seq("en", "zh", "fr")((i % 3).toInt)))
     val df = rows.toDF("doc_id", "lang")
     val rates = Map("en" -> 0.5, "zh" -> 0.25)
     val got = Sampling.stratified(df, "lang", "doc_id", rates, 0.1)
       .select("doc_id").as[Long].collect().toSet
-    val want = rows.filter { case (id, lang) => goldenHash(id) < rates.getOrElse(lang, 0.1) }
+    val want = rows.filter { case (id, lang) => idHash(id) < rates.getOrElse(lang, 0.1) }
       .map(_._1).toSet
     assert(got == want, s"sizes got=${got.size} want=${want.size}")
     assert(got.nonEmpty && got.size < rows.size) // non-vacuous both ways
@@ -31,6 +35,19 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.stratified(df.repartition(7), "lang", "doc_id", rates, 0.1)
       .select("doc_id").as[Long].collect().toSet
     assert(again == got)
+  }
+
+  test("idUniform: ids congruent mod 2^31-1 get DIFFERENT coins (no 2.1e9 period)") {
+    import spark.implicits._
+    val m1 = 2147483647L
+    val ids = Seq(5L, 5L + m1, 5L + 2 * m1, 5L + 3 * m1)
+    val coins = ids.toDF("id").select(Sampling.idUniform(col("id")).as("u"))
+      .as[Double].collect().toSet
+    assert(coins.size == ids.size, s"periodic coins: $coins")
+    // negative ids fold like the DuckDB double-% replay
+    val neg = Seq(-7L).toDF("id").select(Sampling.idUniform(col("id")).as("u"))
+      .as[Double].collect().head
+    assert(neg == idHash(-7L))
   }
 
   test("tokenBudgetCap: running total respects budget, first excess row is cut, docs stay whole") {
@@ -48,5 +65,39 @@ class SamplingSpec extends SparkSpec {
     val tight = Sampling.tokenBudgetCap(df, "source", Seq("doc_id"), "n_chars", 3000L)
       .select("source", "doc_id").as[(String, Long)].collect().toSet
     assert(tight == Set(("a", 1L), ("a", 2L)))
+  }
+
+  test("tokenBudgetCap: chunked scan equals the window form at every chunk size") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus: 3 sources, ids with gaps,
+    // token counts that force cuts at different points per source
+    val rows = (0L until 400L).map { i =>
+      (Seq("web", "code", "chat")((i % 3).toInt), i * 3 % 251, (i * 37 % 90) + 1)
+    }
+    val df = rows.toDF("source", "doc_id", "n_toks")
+    val want = Sampling
+      .tokenBudgetCapWindowed(df, "source", Seq("doc_id"), "n_toks", 1500L)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(want.nonEmpty && want.size < rows.size)
+    for (chunk <- Seq(1, 2, 7, 64, 1 << 20)) {
+      val got = Sampling
+        .tokenBudgetCap(df, "source", Seq("doc_id"), "n_toks", 1500L, chunkSize = chunk)
+        .select("source", "doc_id").as[(String, Long)].collect().toSet
+      assert(got == want, s"chunkSize=$chunk: ${got.size} vs ${want.size}")
+    }
+  }
+
+  test("tokenBudgetCap: caller columns named like temps survive untouched") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10L, "keep1", "keep2"), ("a", 2L, 10L, "x", "y"))
+      .toDF("source", "doc_id", "n_toks", "_tbc_chunk", "_running")
+    val out = Sampling.tokenBudgetCap(df, "source", Seq("doc_id"), "n_toks", 100L)
+    assert(out.columns.toSeq == df.columns.toSeq)
+    assert(out.select("_tbc_chunk").as[String].collect().toSet == Set("keep1", "x"))
+    // non-numeric leading order column: falls back to the window form
+    val byName = Sampling.tokenBudgetCap(
+      df.withColumn("name", concat(lit("d"), col("doc_id"))),
+      "source", Seq("name"), "n_toks", 15L)
+    assert(byName.select("doc_id").as[Long].collect().toSet == Set(1L))
   }
 }
