@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.Ann
-import graft.dedup.{Decontam, Dedup}
+import graft.dedup.{Decontam, Dedup, SpanDedup}
 import graft.functions.Geo
 import graft.kg.Dictionary
 import graft.ops.{Blocks, Sequences, Stats}
@@ -469,6 +469,23 @@ object SparkEntry {
         .tokenBudgetCap(read(s, dir, "documents"), "source", Seq("doc_id"), "n_chars", 4000L,
           chunkSize = 256)
         .select(col("doc_id"), col("source"), col("n_chars"))),
+
+    // ---- substring/passage-level dedup: maximal duplicated token
+    //      spans per document (position-indexed 6-gram windows shared
+    //      by >= 2 docs, merged gaps-and-islands per doc). Catches the
+    //      boilerplate block embedded in many otherwise-distinct docs
+    //      that whole-document near-dup keeps.
+    "q_span_dedup" -> ((s, dir) =>
+      SpanDedup.duplicateSpans(
+        s, read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 6, 2)),
+
+    // ---- the per-doc duplication profile a curation policy
+    //      thresholds on: span count, duplicated-token count, fraction
+    "q_span_stats" -> ((s, dir) =>
+      SpanDedup.spanStats(
+        s, read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 6, 2)),
 
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
     //      against the exact-Jaccard oracle in DedupSpec)
@@ -1361,6 +1378,67 @@ object SparkEntry {
           |cgrams AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 20 <> 0)
           |SELECT c.doc_id, e.eval_doc_id, count(*) AS n_shared_grams
           |FROM cgrams c JOIN egrams e USING (gram) GROUP BY 1, 2""".stripMargin,
+      // position-indexed 6-gram windows (0-based start, repeats kept),
+      // df >= 2 distinct docs, merged per doc where the next start is
+      // <= previous + 6 (overlapping-or-adjacent window cover)
+      "q_span_dedup" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |pg0 AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(tk) - 5)) AS i, tk
+          |  FROM toks WHERE len(tk) >= 6),
+          |pos_grams AS (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+5], ' ') AS gram FROM pg0),
+          |dg AS (SELECT gram FROM pos_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          |dp AS (SELECT doc_id, pos FROM pos_grams JOIN dg USING (gram)),
+          |brk AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
+          |         WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6 THEN 1
+          |         ELSE 0 END AS brk
+          |  FROM dp),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+          |  FROM brk)
+          |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+          |  count(*) AS n_dup_grams
+          |FROM isl GROUP BY doc_id, isl""".stripMargin,
+      "q_span_stats" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+          |  FROM documents),
+          |pg0 AS (
+          |  SELECT doc_id, unnest(generate_series(1, len(tk) - 5)) AS i, tk
+          |  FROM toks WHERE len(tk) >= 6),
+          |pos_grams AS (
+          |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+5], ' ') AS gram FROM pg0),
+          |dg AS (SELECT gram FROM pos_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+          |dp AS (SELECT doc_id, pos FROM pos_grams JOIN dg USING (gram)),
+          |brk AS (
+          |  SELECT doc_id, pos,
+          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
+          |         WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6 THEN 1
+          |         ELSE 0 END AS brk
+          |  FROM dp),
+          |isl AS (
+          |  SELECT doc_id, pos,
+          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+          |  FROM brk),
+          |spans AS (
+          |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e, count(*) AS g
+          |  FROM isl GROUP BY doc_id, isl),
+          |per_doc AS (
+          |  SELECT doc_id, count(*) AS n_spans,
+          |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+          |  FROM spans GROUP BY doc_id)
+          |SELECT d.doc_id, p.n_spans, p.dup_tokens,
+          |  CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(d.text), '\s+')) END AS BIGINT) AS total_tokens,
+          |  round(p.dup_tokens / (CASE WHEN len(trim(d.text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(d.text), '\s+')) END), 6) AS dup_fraction
+          |FROM documents d JOIN per_doc p USING (doc_id)""".stripMargin,
       // the whole curation chain replayed stage-for-stage: the dedup
       // window, the gram flagging, the token floor, and the
       // golden-ratio sample are the SAME SQL fragments the standalone

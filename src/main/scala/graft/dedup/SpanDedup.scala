@@ -1,0 +1,148 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.util.Hashing
+
+/** Substring / passage-level deduplication: find the duplicated SPANS
+  * inside documents — token ranges whose n-gram windows also occur in
+  * other documents — rather than whole near-duplicate documents.
+  * Document-granularity near-dup (the [[Dedup]] MinHash/Jaccard
+  * family) keeps a document that embeds a verbatim 500-token
+  * boilerplate block present in a million others; this operator is the
+  * one that sees the block. The design follows the suffix-free
+  * approximation used by large-corpus dedup pipelines (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better", ACL'22
+  * — their ExactSubstr uses suffix arrays; at cluster scale the
+  * standard re-expression is position-indexed n-gram windows, which is
+  * what composes with Spark's shuffle machinery).
+  *
+  * Plan shape, built for the 100-TB corpus:
+  *   1. position-indexed word n-grams — narrow (id, pos, gramHash)
+  *      rows; the text itself never rides a shuffle, and positions are
+  *      bounded by document length (documents are KB–MB, never TB);
+  *   2. gram document-frequency — one hash aggregation over the 8-byte
+  *      gram key with map-side partial aggregation; grams kept when
+  *      df >= minDf (a gram in only one document cannot witness
+  *      cross-document duplication);
+  *   3. positions of duplicated grams rejoin by gram (left-semi,
+  *      narrow keys both sides), then merge into maximal spans per
+  *      document with a per-document window — gaps-and-islands: a new
+  *      island starts where the next window start is more than n past
+  *      the previous one (window [s, s+n-1] and a start <= s+n overlap
+  *      or touch). Per-document windows are bounded tasks for the same
+  *      reason as step 1.
+  *
+  * Shingle semantics match [[Dedup.wordShingles]] tokenization
+  * (lowercase, whitespace-split) but KEEP positions and repeats —
+  * a repeated gram occupies every position it appears at. Documents
+  * shorter than n tokens emit nothing (a doc that cannot contain an
+  * n-token window has no span; whole-document duplication is exact
+  * dedup's job). The DuckDB oracle replays the whole thing on gram
+  * STRINGS (collisions of the 64-bit gram hash are the only divergence
+  * risk, ~n²/2^65).
+  */
+object SpanDedup {
+
+  /** Position-indexed n-gram hashes: (idCol, pos, gram); pos is the
+    * 0-based index of the window's first token.
+    */
+  def positionalGrams(
+      spark: SparkSession,
+      df: DataFrame, // (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      shingleN: Int
+  ): DataFrame = {
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        if (t == null) Iterator.empty
+        else {
+          val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          if (toks.length < shingleN) Iterator.empty
+          else (0 to toks.length - shingleN).iterator.map { i =>
+            (id, i.toLong, Hashing.hashString(toks.slice(i, i + shingleN).mkString(" ")))
+          }
+        }
+      }
+      .toDF(idCol, "pos", "gram")
+  }
+
+  /** Duplicated-span report: one row per maximal duplicated span,
+    * (idCol, span_start, span_end, n_dup_grams) — token positions
+    * inclusive, n_dup_grams the number of duplicated n-gram windows
+    * merged into the span. A span's every covered token sits under at
+    * least one n-gram window shared (at any position) with >= minDf-1
+    * other documents.
+    */
+  def duplicateSpans(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 6,
+      minDf: Int = 2
+  ): DataFrame = {
+    val grams = positionalGrams(spark, df, idCol, textCol, shingleN)
+    val dupGrams = grams
+      .groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("_df"))
+      .where(col("_df") >= minDf)
+      .select(col("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
+
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = dupPos
+      .withColumn(
+        "_brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull, 1)
+          .when(col("pos") - lag(col("pos"), 1).over(byDoc) > shingleN, 1)
+          .otherwise(0))
+      .withColumn(
+        "_isl",
+        sum(col("_brk")).over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands
+      .groupBy(col(idCol), col("_isl"))
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (shingleN - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_dup_grams"))
+  }
+
+  /** Per-document duplication profile derived from the span report:
+    * (idCol, n_spans, dup_tokens, total_tokens, dup_fraction) — the
+    * number a curation policy thresholds on ("drop documents that are
+    * mostly boilerplate"). Spans within a document never overlap (the
+    * report merges them), so their lengths sum exactly.
+    */
+  def spanStats(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 6,
+      minDf: Int = 2
+  ): DataFrame = {
+    val spans = duplicateSpans(spark, df, idCol, textCol, shingleN, minDf)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val totals = df.select(
+      col(idCol).cast("long").as(idCol),
+      graft.text.TextOps.tokenCount(col(textCol)).cast("long").as("total_tokens"))
+    totals
+      .join(spans, Seq(idCol), "inner")
+      .select(
+        col(idCol),
+        col("n_spans"),
+        col("dup_tokens"),
+        col("total_tokens"),
+        round(col("dup_tokens") / col("total_tokens"), 6).as("dup_fraction"))
+  }
+}
