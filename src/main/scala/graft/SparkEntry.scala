@@ -194,6 +194,24 @@ object SparkEntry {
     d.union(clipped)
   }
 
+  /** [[docsWithClips]] carrying the lang stratum (the near-dup curation
+    * chain needs a stratified corpus WITH near-duplicates; clips keep
+    * their original's lang). Same clip rule — keep in lockstep with the
+    * q_curate_neardup oracle SQL.
+    */
+  private def docsWithClipsLang(s: SparkSession, dir: String): DataFrame = {
+    val d = read(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+    val clipped = d
+      .where(col("doc_id") % 4 === 0)
+      .select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
+          .as("text"),
+        col("lang")
+      )
+    d.union(clipped)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A3-flavor grouped aggregation profile over lineitem
     "q_agg_pricing" -> ((s, dir) => {
@@ -448,6 +466,30 @@ object SparkEntry {
         rates = Map("en" -> 0.5, "zh" -> 0.25),
         defaultRate = 0.1,
         shingleN = 6)
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- the full-recipe curation chain: exact dedup -> EXACT-Jaccard
+    //      near-dup survivors (recall-complete prefix-filtered pair
+    //      join, smaller-id-wins) -> 6-gram decontamination ->
+    //      COMPOSITE quality floor (TextOps.qualityScore >= 0.75; the
+    //      rounded score is the same expression the hash-green
+    //      q_text_stats row pins cross-engine) -> stratified sample.
+    //      Runs on the clips corpus so the near-dup stage is
+    //      non-vacuous by construction at every SF.
+    "q_curate_neardup" -> ((s, dir) => {
+      val corpus = docsWithClipsLang(s, dir).where(col("doc_id") % 20 =!= 0)
+      val eval = read(s, dir, "documents")
+        .where(col("doc_id") % 20 === 0).select(col("text"))
+      Curation.curate(
+        s, corpus, eval,
+        "doc_id", "text", "lang", "text",
+        minTokens = 0,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1,
+        shingleN = 6,
+        nearDup = Curation.NearDupStage.ExactJaccard(0.6, 3),
+        qualityFloor = Some(0.75))
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -1477,6 +1519,75 @@ object SparkEntry {
           |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
           |      % 2147483647 / 2147483647.0 <
           |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
+      // the near-dup curation chain replayed stage-for-stage: the clip
+      // corpus, the dedup window, the exact-Jaccard dominated set
+      // (q_neardup_survivors' replay), the 6-gram flagging, the
+      // composite quality floor (q_text_stats' score expression), and
+      // the two-residue sample
+      "q_curate_neardup" -> {
+        val stopHits = hits(markers.flatMap(_._2))
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |    array_to_string(w[1:greatest(len(w) - 3, 1)], ' ') AS text, lang
+           |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+           |        WHERE doc_id % 4 = 0 AND doc_id % 20 <> 0)),
+           |normed AS (
+           |  SELECT doc_id, text, lang,
+           |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+           |  FROM corpus),
+           |dedup AS (
+           |  SELECT doc_id, text, lang FROM (
+           |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+           |    FROM normed) WHERE rn = 1),
+           |sh AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+           |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+           |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+           |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+           |        FROM dedup)),
+           |nd AS (
+           |  SELECT * FROM dedup WHERE doc_id NOT IN (
+           |    SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |    WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)),
+           |ctoks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk FROM nd),
+           |cgrams AS (
+           |  SELECT doc_id, unnest(
+           |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
+           |         ELSE list_transform(generate_series(1, len(tk) - 5), i -> array_to_string(tk[i:i+5], ' '))
+           |    END) AS gram
+           |  FROM ctoks),
+           |etoks AS (SELECT list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tk
+           |          FROM documents WHERE doc_id % 20 = 0),
+           |egrams0 AS (
+           |  SELECT unnest(
+           |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
+           |         ELSE list_transform(generate_series(1, len(tk) - 5), i -> array_to_string(tk[i:i+5], ' '))
+           |    END) AS gram
+           |  FROM etoks),
+           |egrams AS (SELECT DISTINCT gram FROM egrams0),
+           |flagged AS (SELECT DISTINCT doc_id FROM cgrams JOIN egrams USING (gram)),
+           |clean AS (SELECT * FROM nd WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+           |qual AS (
+           |  SELECT doc_id, lang FROM (
+           |    SELECT doc_id, lang, text,
+           |      CASE WHEN len(trim(text)) = 0 THEN 0
+           |           ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count
+           |    FROM clean)
+           |  WHERE round(
+           |      (CASE WHEN len(text) < 20 THEN len(text) / 20.0 WHEN len(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
+           |      + (CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / len(text) ELSE 0.0 END) * 0.4
+           |      + (CASE WHEN token_count > 0 THEN least($stopHits * 1.0 / token_count * 4.0, 1.0) ELSE 0.0 END) * 0.3
+           |    , 6) >= 0.75)
+           |SELECT doc_id, lang FROM qual
+           |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+           |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+           |      % 2147483647 / 2147483647.0 <
+           |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin
+      },
       // two-residue golden/silver id-hash replayed digit-for-digit
       // (exact 64-bit integer arithmetic in both engines — the largest
       // intermediate ~6.5e18 < 2^63; the division is IEEE double of an

@@ -130,15 +130,19 @@ object Decontam {
       maxGrams: Int = 5000000
   ): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     import spark.implicits._
-    val grams = eval
+    val distinctGrams = eval
       .select(col(evalTextCol).cast("string"))
       .as[String]
       .flatMap(t => Dedup.wordShingles(t, shingleN))
       .distinct()
       .as[Long]
-      .collect()
-    require(grams.length <= maxGrams,
-      s"eval gram set (${grams.length}) exceeds maxGrams=$maxGrams — not a broadcastable eval slice")
+    // probe the size BEFORE collect() — the guard must fire before the
+    // driver materializes an oversized array, not after (the limit
+    // keeps the probe cheap: it never counts past maxGrams + 1)
+    val probed = distinctGrams.limit(maxGrams + 1).count()
+    require(probed <= maxGrams,
+      s"eval gram set (> $maxGrams grams) exceeds maxGrams=$maxGrams — not a broadcastable eval slice")
+    val grams = distinctGrams.collect()
     java.util.Arrays.sort(grams)
     spark.sparkContext.broadcast(grams)
   }

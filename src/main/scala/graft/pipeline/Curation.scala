@@ -14,21 +14,54 @@ import graft.text.TextOps
   *   1. exact-normalized dedup (cheapest win first: a narrow
   *      hash-keyed shuffle removes trivially-mutated copies before any
   *      heavier stage sees them),
-  *   2. benchmark decontamination (broadcast eval grams; corpus text
+  *   2. optional NEAR-duplicate removal (the 100-TB recipe runs exact
+  *      dedup THEN near-dup before decontamination: a similarity pair
+  *      join — exact prefix-filtered Jaccard or MinHash-LSH — feeding
+  *      the pairwise smaller-id-wins survivor policy),
+  *   3. benchmark decontamination (broadcast eval grams; corpus text
   *      never shuffles),
-  *   3. quality floor (a pure column predicate — here the token
-  *      count; swap in [[TextOps.qualityScore]] for the composite),
-  *   4. deterministic stratified sampling (a pure scan-side predicate
-  *      on the golden-ratio id-hash — the mix step).
+  *   4. quality floor (pure column predicates — a token-count minimum
+  *      and/or the composite [[TextOps.qualityScore]]),
+  *   5. deterministic stratified sampling (a pure scan-side predicate
+  *      on the two-residue id-hash — the mix step).
   *
-  * Stages 3-4 are predicates and fuse into one codegen'd filter over
-  * stage 2's output; the whole chain shuffles exactly twice (the dedup
-  * fingerprint group-by and its semi-join back). Every stage is
-  * individually value-oracled (q_dedup_norm, q_decontam_clean,
-  * q_text_stats, q_sample_stratified) and the compose is oracled
-  * end-to-end (q_curate).
+  * Stages 4-5 are predicates and fuse into one codegen'd filter over
+  * stage 3's output. Corpus-wide shuffles: the dedup fingerprint
+  * group-by and its semi-join back, plus the near-dup stage's pair
+  * join when enabled; decontamination adds only collision-sized
+  * exchanges (the per-doc aggregation of the broadcast-join match
+  * stream and the left-anti on the narrow id key). Every stage is
+  * individually value-oracled (q_dedup_norm, q_jaccard_pairs /
+  * q_neardup_survivors, q_decontam_clean, q_text_stats,
+  * q_sample_stratified) and the compose is oracled end-to-end
+  * (q_curate, q_curate_neardup).
   */
 object Curation {
+
+  /** Near-duplicate stage selector for [[curate]]. */
+  sealed trait NearDupStage
+  object NearDupStage {
+
+    /** Skip near-dup removal (exact-normalized dedup only). */
+    case object Off extends NearDupStage
+
+    /** Recall-complete prefix-filtered exact Jaccard pair join
+      * ([[Dedup.jaccardPairsExact]]) — deterministic and
+      * oracle-replayable; the default when correctness is audited.
+      */
+    final case class ExactJaccard(threshold: Double, shingleN: Int = 3) extends NearDupStage
+
+    /** MinHash-LSH banding with exact re-scoring
+      * ([[Dedup.minhashNearDupPairs]]) — the cheaper scale path;
+      * recall is the banding recall at the configured (bands, rows).
+      */
+    final case class MinHashLsh(
+        threshold: Double,
+        shingleN: Int = 3,
+        numBands: Int = 16,
+        rowsPerBand: Int = 4
+    ) extends NearDupStage
+  }
 
   def curate(
       spark: SparkSession,
@@ -41,12 +74,26 @@ object Curation {
       minTokens: Int,
       rates: Map[String, Double],
       defaultRate: Double,
-      shingleN: Int = 3
+      shingleN: Int = 3,
+      nearDup: NearDupStage = NearDupStage.Off,
+      qualityFloor: Option[Double] = None
   ): DataFrame = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
+    val afterNearDup = nearDup match {
+      case NearDupStage.Off => deduped
+      case NearDupStage.ExactJaccard(t, n) =>
+        Dedup.nearDupSurvivorsFromPairs(
+          deduped, Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t), idCol)
+      case NearDupStage.MinHashLsh(t, n, bands, rows) =>
+        Dedup.nearDupSurvivorsFromPairs(
+          deduped, Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows),
+          idCol)
+    }
     val cleaned =
-      Decontam.decontaminate(spark, deduped, evalDocs, idCol, textCol, evalTextCol, shingleN)
-    val qualified = cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
+      Decontam.decontaminate(spark, afterNearDup, evalDocs, idCol, textCol, evalTextCol, shingleN)
+    val qualified = qualityFloor.foldLeft(
+      cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
+    ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }
     Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
   }
 }

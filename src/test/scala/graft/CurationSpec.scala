@@ -66,4 +66,44 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(again == survivors)
   }
+
+  test("curate: near-dup stage removes dominated clips; composite quality floor holds") {
+    import spark.implicits._
+    val all = spark.read.parquet(docs)
+    // clip corpus: every 4th doc gets a copy with the last 3 words
+    // dropped (high-but-not-1.0 Jaccard) under a shifted id
+    val base = all.select(col("doc_id"), col("text"), col("lang"))
+    val clips = base.where(col("doc_id") % 4 === 0).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), lit(1),
+        greatest(size(split(col("text"), " ")) - 3, lit(1)))).as("text"),
+      col("lang"))
+    val corpus = base.union(clips).where(col("doc_id") % 20 =!= 0)
+    val eval = all.where(col("doc_id") % 20 === 0).select(col("text"))
+    val floor = 0.75
+    def run(nd: Curation.NearDupStage) = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6, nearDup = nd, qualityFloor = Some(floor))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val without = run(Curation.NearDupStage.Off)
+    val withNd = run(Curation.NearDupStage.ExactJaccard(0.6, 3))
+    assert(withNd.subsetOf(without))
+    val removed = without -- withNd
+    assert(removed.nonEmpty, "near-dup stage removed nothing")
+    // smaller-id-wins: clips (the larger side of their pair by id
+    // shift) are dominated and removed. The raw sf0.001 corpus also
+    // carries NATURAL near-dup pairs at J >= 0.6, so removals below
+    // the shift are legitimate — require the clips specifically.
+    val clipIds = clips.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val removedClips = removed.filter(_ >= 200000)
+    assert(removedClips.nonEmpty && removedClips.subsetOf(clipIds))
+    // composite floor holds on every survivor (replay the column expr)
+    val qualities = corpus
+      .withColumn("q", graft.text.TextOps.qualityScore(col("text")))
+      .select(col("doc_id"), col("q")).as[(Long, Double)].collect().toMap
+    withNd.foreach(id => assert(qualities(id) >= floor, s"doc $id under quality floor"))
+    // the floor is not vacuous on this corpus
+    assert(corpus.count() > without.size)
+  }
 }
