@@ -64,9 +64,17 @@ object Bench {
     val errs = errors.map { case (k, v) => jq(k) + ":" + jq(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}""")
+        s""""n_errors":${errors.size},"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // self-record the full JSON to a file as well: stdout capture has
+    // been truncated mid-line by harness tails before, and ambient
+    // contention spikes are easier to adjudicate against an in-repo
+    // artifact written by the run itself
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] self-record failed: $e") }
     spark.stop()
   }
 }
