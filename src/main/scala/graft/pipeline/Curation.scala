@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Decontam, Dedup}
+import graft.dedup.{Decontam, Dedup, SpanDedup}
 import graft.sampling.Sampling
 import graft.text.TextOps
 
@@ -18,23 +18,28 @@ import graft.text.TextOps
   *      dedup THEN near-dup before decontamination: a similarity pair
   *      join — exact prefix-filtered Jaccard or MinHash-LSH — feeding
   *      the pairwise smaller-id-wins survivor policy),
-  *   3. benchmark decontamination (broadcast eval grams; corpus text
+  *   3. optional BOILERPLATE removal: drop documents whose
+  *      [[SpanDedup.spanStats]] duplicated-token fraction exceeds a
+  *      cap — the passage-level signal whole-document near-dup cannot
+  *      see (a doc that is 80% shared boilerplate survives stages 1-2
+  *      whenever its unique 20% keeps pairwise Jaccard low),
+  *   4. benchmark decontamination (broadcast eval grams; corpus text
   *      never shuffles),
-  *   4. quality floor (pure column predicates — a token-count minimum
+  *   5. quality floor (pure column predicates — a token-count minimum
   *      and/or the composite [[TextOps.qualityScore]]),
-  *   5. deterministic stratified sampling (a pure scan-side predicate
+  *   6. deterministic stratified sampling (a pure scan-side predicate
   *      on the two-residue id-hash — the mix step).
   *
-  * Stages 4-5 are predicates and fuse into one codegen'd filter over
-  * stage 3's output. Corpus-wide shuffles: the dedup fingerprint
-  * group-by and its semi-join back, plus the near-dup stage's pair
-  * join when enabled; decontamination adds only collision-sized
-  * exchanges (the per-doc aggregation of the broadcast-join match
-  * stream and the left-anti on the narrow id key). Every stage is
-  * individually value-oracled (q_dedup_norm, q_jaccard_pairs /
-  * q_neardup_survivors, q_decontam_clean, q_text_stats,
-  * q_sample_stratified) and the compose is oracled end-to-end
-  * (q_curate, q_curate_neardup).
+  * Stages 5-6 are predicates and fuse into one codegen'd filter over
+  * stage 4's output. Corpus-wide shuffles: the dedup fingerprint
+  * group-by and its semi-join back, plus the near-dup pair join and
+  * the span-stats gram aggregation when those stages are enabled;
+  * decontamination adds only collision-sized exchanges (the per-doc
+  * aggregation of the broadcast-join match stream and the left-anti on
+  * the narrow id key). Every stage is individually value-oracled
+  * (q_dedup_norm, q_jaccard_pairs / q_neardup_survivors, q_span_stats,
+  * q_decontam_clean, q_text_stats, q_sample_stratified) and the
+  * compose is oracled end-to-end (q_curate, q_curate_neardup).
   */
 object Curation {
 
@@ -76,7 +81,10 @@ object Curation {
       defaultRate: Double,
       shingleN: Int = 3,
       nearDup: NearDupStage = NearDupStage.Off,
-      qualityFloor: Option[Double] = None
+      qualityFloor: Option[Double] = None,
+      maxDupFraction: Option[Double] = None,
+      spanShingleN: Int = 6,
+      spanMinDf: Int = 2
   ): DataFrame = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val afterNearDup = nearDup match {
@@ -89,8 +97,15 @@ object Curation {
           deduped, Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows),
           idCol)
     }
+    val afterSpans = maxDupFraction.foldLeft(afterNearDup) { (df, cap) =>
+      val boilerplate = SpanDedup
+        .spanStats(spark, df, idCol, textCol, spanShingleN, spanMinDf)
+        .where(col("dup_fraction") > cap)
+        .select(col(idCol))
+      df.join(boilerplate, Seq(idCol), "left_anti")
+    }
     val cleaned =
-      Decontam.decontaminate(spark, afterNearDup, evalDocs, idCol, textCol, evalTextCol, shingleN)
+      Decontam.decontaminate(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
     val qualified = qualityFloor.foldLeft(
       cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
     ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }

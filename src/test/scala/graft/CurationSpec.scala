@@ -106,4 +106,27 @@ class CurationSpec extends SparkSpec {
     // the floor is not vacuous on this corpus
     assert(corpus.count() > without.size)
   }
+
+  test("curate: boilerplate stage drops span-heavy docs that near-dup keeps") {
+    import spark.implicits._
+    val boiler = "terms of service apply to all users of this site always"
+    // docs 0-9 embed the 11-token boilerplate block + 3 unique tokens
+    // (dup_fraction ~ 0.79); docs 100-109 are fully unique; pairwise
+    // Jaccard between boilerplate docs stays moderate (shared block,
+    // distinct tails) so an 0.9 near-dup threshold keeps them all
+    val rows = (0L until 10L).map(i => (i, s"$boiler unique$i tail$i x$i", "en")) ++
+      (100L until 110L).map(i => (i, s"doc$i body$i text$i words$i here$i only$i", "en"))
+    val corpus = rows.toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    def run(cap: Option[Double]) = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6,
+        nearDup = Curation.NearDupStage.ExactJaccard(0.9, 3),
+        maxDupFraction = cap, spanShingleN = 3)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val keptAll = run(None)
+    assert(keptAll == rows.map(_._1).toSet) // near-dup at 0.9 removes nothing
+    val capped = run(Some(0.5))
+    assert(capped == (100L until 110L).toSet, s"got $capped") // every boilerplate doc dropped
+  }
 }
