@@ -98,7 +98,13 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
     oracle = json.load(open(f"{verify_dir}/oracle_sql.json"))
-    subset = set(args.queries.split(",")) if args.queries else None
+    subset = None
+    if args.queries:
+        subset = {q.strip() for q in args.queries.split(",") if q.strip()}
+        unknown = subset - set(oracle)
+        if unknown:
+            log(f"[sweep] unknown queries (not in oracle_sql.json): {sorted(unknown)}")
+            sys.exit(1)
 
     results, n_bad = {}, 0
     for name in sorted(oracle):

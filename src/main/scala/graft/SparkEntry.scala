@@ -182,22 +182,15 @@ object SparkEntry {
     * q_neardup_survivors and their DuckDB oracle mirrors — keep the
     * expression and the SQL in lockstep.
     */
-  private[graft] def docsWithClips(s: SparkSession, dir: String): DataFrame = {
-    val d = read(s, dir, "documents").select(col("doc_id"), col("text"))
-    val clipped = d
-      .where(col("doc_id") % 4 === 0)
-      .select(
-        (col("doc_id") + 200000).as("doc_id"),
-        concat_ws(" ", slice(split(col("text"), " "), lit(1), greatest(size(split(col("text"), " ")) - 3, lit(1))))
-          .as("text")
-      )
-    d.union(clipped)
-  }
+  private[graft] def docsWithClips(s: SparkSession, dir: String): DataFrame =
+    docsWithClipsLang(s, dir).select(col("doc_id"), col("text"))
 
-  /** [[docsWithClips]] carrying the lang stratum (the near-dup curation
+  /** The clips corpus carrying the lang stratum (the near-dup curation
     * chain needs a stratified corpus WITH near-duplicates; clips keep
-    * their original's lang). Same clip rule — keep in lockstep with the
-    * q_curate_neardup oracle SQL.
+    * their original's lang). THE single definition of the clip rule —
+    * [[docsWithClips]] projects it — in lockstep with the
+    * q_jaccard_pairs / q_neardup_survivors / q_curate_neardup oracle
+    * SQL.
     */
   private def docsWithClipsLang(s: SparkSession, dir: String): DataFrame = {
     val d = read(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
@@ -1184,6 +1177,32 @@ object SparkEntry {
       val whens = markers.zip(scores).map { case ((l, _), sc) => s"WHEN $sc = best AND $sc > 0 THEN '$l'" }
       (scores, best, whens)
     }
+    // THE shared CTE chain of the two span oracles (position-indexed
+    // 6-gram windows with 0-based starts, df >= 2 distinct docs,
+    // gaps-and-islands where the next start is <= previous + 6) — both
+    // rows interpolate this one definition so the break rule and the
+    // +5 span-end arithmetic cannot desynchronize
+    val spanCtes =
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |pg0 AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk) - 5)) AS i, tk
+        |  FROM toks WHERE len(tk) >= 6),
+        |pos_grams AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+5], ' ') AS gram FROM pg0),
+        |dg AS (SELECT gram FROM pos_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM pos_grams JOIN dg USING (gram)),
+        |brk AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
+        |         WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM dp),
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+        |  FROM brk)""".stripMargin
 
     Map(
       "q_agg_pricing" ->
@@ -1424,63 +1443,25 @@ object SparkEntry {
       // df >= 2 distinct docs, merged per doc where the next start is
       // <= previous + 6 (overlapping-or-adjacent window cover)
       "q_span_dedup" ->
-        """WITH toks AS (
-          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |pg0 AS (
-          |  SELECT doc_id, unnest(generate_series(1, len(tk) - 5)) AS i, tk
-          |  FROM toks WHERE len(tk) >= 6),
-          |pos_grams AS (
-          |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+5], ' ') AS gram FROM pg0),
-          |dg AS (SELECT gram FROM pos_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-          |dp AS (SELECT doc_id, pos FROM pos_grams JOIN dg USING (gram)),
-          |brk AS (
-          |  SELECT doc_id, pos,
-          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
-          |         WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6 THEN 1
-          |         ELSE 0 END AS brk
-          |  FROM dp),
-          |isl AS (
-          |  SELECT doc_id, pos,
-          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-          |  FROM brk)
-          |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
-          |  count(*) AS n_dup_grams
-          |FROM isl GROUP BY doc_id, isl""".stripMargin,
+        s"""$spanCtes
+           |SELECT doc_id, min(pos) AS span_start, max(pos) + 5 AS span_end,
+           |  count(*) AS n_dup_grams
+           |FROM isl GROUP BY doc_id, isl""".stripMargin,
       "q_span_stats" ->
-        """WITH toks AS (
-          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |pg0 AS (
-          |  SELECT doc_id, unnest(generate_series(1, len(tk) - 5)) AS i, tk
-          |  FROM toks WHERE len(tk) >= 6),
-          |pos_grams AS (
-          |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+5], ' ') AS gram FROM pg0),
-          |dg AS (SELECT gram FROM pos_grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-          |dp AS (SELECT doc_id, pos FROM pos_grams JOIN dg USING (gram)),
-          |brk AS (
-          |  SELECT doc_id, pos,
-          |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL THEN 1
-          |         WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 6 THEN 1
-          |         ELSE 0 END AS brk
-          |  FROM dp),
-          |isl AS (
-          |  SELECT doc_id, pos,
-          |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
-          |  FROM brk),
-          |spans AS (
-          |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e, count(*) AS g
-          |  FROM isl GROUP BY doc_id, isl),
-          |per_doc AS (
-          |  SELECT doc_id, count(*) AS n_spans,
-          |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
-          |  FROM spans GROUP BY doc_id)
-          |SELECT d.doc_id, p.n_spans, p.dup_tokens,
-          |  CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
-          |       ELSE len(string_split_regex(trim(d.text), '\s+')) END AS BIGINT) AS total_tokens,
-          |  round(p.dup_tokens / (CASE WHEN len(trim(d.text)) = 0 THEN 0
-          |       ELSE len(string_split_regex(trim(d.text), '\s+')) END), 6) AS dup_fraction
-          |FROM documents d JOIN per_doc p USING (doc_id)""".stripMargin,
+        s"""$spanCtes,
+           |spans AS (
+           |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e, count(*) AS g
+           |  FROM isl GROUP BY doc_id, isl),
+           |per_doc AS (
+           |  SELECT doc_id, count(*) AS n_spans,
+           |    CAST(sum(e - s + 1) AS BIGINT) AS dup_tokens
+           |  FROM spans GROUP BY doc_id)
+           |SELECT d.doc_id, p.n_spans, p.dup_tokens,
+           |  CAST(CASE WHEN len(trim(d.text)) = 0 THEN 0
+           |       ELSE len(string_split_regex(trim(d.text), '\\s+')) END AS BIGINT) AS total_tokens,
+           |  round(p.dup_tokens / (CASE WHEN len(trim(d.text)) = 0 THEN 0
+           |       ELSE len(string_split_regex(trim(d.text), '\\s+')) END), 6) AS dup_fraction
+           |FROM documents d JOIN per_doc p USING (doc_id)""".stripMargin,
       // the whole curation chain replayed stage-for-stage: the dedup
       // window, the gram flagging, the token floor, and the
       // golden-ratio sample are the SAME SQL fragments the standalone

@@ -136,13 +136,14 @@ object Decontam {
       .flatMap(t => Dedup.wordShingles(t, shingleN))
       .distinct()
       .as[Long]
-    // probe the size BEFORE collect() — the guard must fire before the
-    // driver materializes an oversized array, not after (the limit
-    // keeps the probe cheap: it never counts past maxGrams + 1)
-    val probed = distinctGrams.limit(maxGrams + 1).count()
-    require(probed <= maxGrams,
+    // the limit IS the guard: the driver materializes at most
+    // maxGrams + 1 longs, and one extra element proves the eval set is
+    // oversized before anything bigger ever reaches the driver (one
+    // job, unlike a separate count() probe which would recompute the
+    // distinct shuffle)
+    val grams = distinctGrams.limit(maxGrams + 1).collect()
+    require(grams.length <= maxGrams,
       s"eval gram set (> $maxGrams grams) exceeds maxGrams=$maxGrams — not a broadcastable eval slice")
-    val grams = distinctGrams.collect()
     java.util.Arrays.sort(grams)
     spark.sparkContext.broadcast(grams)
   }

@@ -138,7 +138,10 @@ object Sampling {
       .select(col(cGrp), col(cChunk2), col(cOffset))
 
     within
-      .join(offsets, col(groupCol) === col(cGrp) && col(cChunk) === col(cChunk2))
+      // null-safe equality: a null group key (or null-order chunk) must
+      // behave exactly like the window form, where null is its own
+      // partition — plain === would silently drop those rows
+      .join(offsets, col(groupCol) <=> col(cGrp) && col(cChunk) <=> col(cChunk2))
       .where(col(cWithin) + col(cOffset) <= budget)
       .drop(cChunk, cWithin, cGrp, cChunk2, cOffset)
   }

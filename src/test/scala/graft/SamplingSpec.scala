@@ -69,10 +69,12 @@ class SamplingSpec extends SparkSpec {
 
   test("tokenBudgetCap: chunked scan equals the window form at every chunk size") {
     import spark.implicits._
-    // deterministic pseudo-random corpus: 3 sources, ids with gaps,
-    // token counts that force cuts at different points per source
+    // deterministic pseudo-random corpus: 3 sources (one NULL — a null
+    // group key must behave like the window form's null partition, not
+    // vanish in the chunk-offset join), ids with gaps, token counts
+    // that force cuts at different points per source
     val rows = (0L until 400L).map { i =>
-      (Seq("web", "code", "chat")((i % 3).toInt), i * 3 % 251, (i * 37 % 90) + 1)
+      (Seq("web", "code", "chat", null)((i % 4).toInt), i * 3 % 251, (i * 37 % 90) + 1)
     }
     val df = rows.toDF("source", "doc_id", "n_toks")
     val want = Sampling
