@@ -85,13 +85,21 @@ object SpanDedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 6,
-      minDf: Int = 2
+      minDf: Int = 2,
+      maxDf: Option[Long] = None
   ): DataFrame = {
     val grams = positionalGrams(spark, df, idCol, textCol, shingleN)
-    val dupGrams = grams
-      .groupBy(col("gram"))
-      .agg(countDistinct(col(idCol)).as("_df"))
-      .where(col("_df") >= minDf)
+    // maxDf is the extreme-scale stoplist cap: a gram in more than
+    // maxDf documents (ubiquitous boilerplate vocabulary) is its own
+    // signal and would otherwise fan its positions into every doc's
+    // span merge; default off — min-df alone is the correctness
+    // definition
+    val dupGrams = maxDf.foldLeft(
+      grams
+        .groupBy(col("gram"))
+        .agg(countDistinct(col(idCol)).as("_df"))
+        .where(col("_df") >= minDf)
+    ) { (d, cap) => d.where(col("_df") <= cap) }
       .select(col("gram"))
     val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
 

@@ -48,6 +48,13 @@ class SpanDedupSpec extends SparkSpec {
     assert(spans(corpus, minDf = 4).isEmpty)
     // within-doc repetition alone is NOT cross-document duplication
     assert(spans(Seq(20L -> "q q q q q q q q"), minDf = 2).isEmpty)
+    // maxDf stoplist cap: the 3-doc gram is dropped when capped at 2
+    import spark.implicits._
+    val capped = graft.dedup.SpanDedup
+      .duplicateSpans(spark, corpus.toDF("doc_id", "text"), "doc_id", "text", 3, 2, maxDf = Some(2L))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped.isEmpty) // "a b c" has df=3 > cap; nothing else repeats
+    assert(spans(corpus, minDf = 2).nonEmpty) // uncapped it IS reported
   }
 
   test("spanStats: per-doc dup fraction from merged spans") {
