@@ -153,4 +153,98 @@ object SpanDedup {
         col("total_tokens"),
         round(col("dup_tokens") / col("total_tokens"), 6).as("dup_fraction"))
   }
+
+  /** Reference-corpus duplicated-gram table for the STREAMING flagger:
+    * the sorted gram hashes whose document frequency in `df` is >=
+    * minDf (optionally <= maxDf), as a broadcast unboxed Array[Long]
+    * probed by binary search — the same shape as
+    * [[Decontam.evalGramSet]]. The gram df is the one corpus-global
+    * quantity span detection needs; once broadcast, per-document span
+    * merging is a pure local computation, which is what makes the
+    * streaming variant stateless. The limit is the guard: at most
+    * maxGrams + 1 hashes ever reach the driver.
+    */
+  def dupGramSet(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 6,
+      minDf: Int = 2,
+      maxDf: Option[Long] = None,
+      maxGrams: Int = 5000000
+  ): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
+    import spark.implicits._
+    val dup = maxDf.foldLeft(
+      positionalGrams(spark, df, idCol, textCol, shingleN)
+        .groupBy(col("gram"))
+        .agg(countDistinct(col(idCol)).as("_df"))
+        .where(col("_df") >= minDf)
+    ) { (d, cap) => d.where(col("_df") <= cap) }
+    val grams = dup.select(col("gram")).as[Long].limit(maxGrams + 1).collect()
+    require(grams.length <= maxGrams,
+      s"duplicated-gram set (> $maxGrams grams) exceeds maxGrams=$maxGrams — not broadcastable; " +
+        "raise minDf or set a maxDf stoplist cap")
+    java.util.Arrays.sort(grams)
+    spark.sparkContext.broadcast(grams)
+  }
+
+  /** Streaming span profile: stateless per-row span detection of a
+    * streamed (or batch) corpus against the broadcast duplicated-gram
+    * table — appends (n_spans, dup_tokens, total_tokens, dup_fraction)
+    * columns with EXACTLY [[spanStats]]'s merge semantics (docs with no
+    * duplicated window get zeros; batch spanStats omits them — its
+    * report is inner-joined). No watermark, no state store: the
+    * corpus-global part (gram df) lives in the broadcast, so
+    * ingestion-time boilerplate flagging is a pure map at any scale.
+    */
+  def streamingSpanStats(
+      df: DataFrame, // batch OR streaming, carries textCol
+      textCol: String,
+      dupGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      shingleN: Int = 6
+  ): DataFrame = {
+    val stats = udf { (t: String) =>
+      if (t == null) (0, 0L, 0L, 0.0)
+      else {
+        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val total = toks.length.toLong
+        if (toks.length < shingleN) (0, 0L, total, 0.0)
+        else {
+          val positions = (0 to toks.length - shingleN).iterator.filter { i =>
+            val h = Hashing.hashString(toks.slice(i, i + shingleN).mkString(" "))
+            java.util.Arrays.binarySearch(dupGrams.value, h) >= 0
+          }.toArray
+          if (positions.isEmpty) (0, 0L, total, 0.0)
+          else {
+            // gaps-and-islands over the sorted positions, same merge
+            // rule as duplicateSpans: next start <= previous + n stays
+            var nSpans = 0
+            var dupTokens = 0L
+            var start = positions(0)
+            var last = positions(0)
+            var k = 1
+            while (k <= positions.length) {
+              if (k == positions.length || positions(k) - last > shingleN) {
+                nSpans += 1
+                dupTokens += (last + shingleN - 1) - start + 1
+                if (k < positions.length) { start = positions(k) }
+              }
+              if (k < positions.length) last = positions(k)
+              k += 1
+            }
+            val frac = BigDecimal(dupTokens.toDouble / total)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            (nSpans, dupTokens, total, frac)
+          }
+        }
+      }
+    }
+    df.withColumn("_span", stats(col(textCol)))
+      .withColumn("n_spans", col("_span._1"))
+      .withColumn("dup_tokens", col("_span._2"))
+      .withColumn("total_tokens", col("_span._3"))
+      .withColumn("dup_fraction", col("_span._4"))
+      .drop("_span")
+  }
 }

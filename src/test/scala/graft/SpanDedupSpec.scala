@@ -71,6 +71,95 @@ class SpanDedupSpec extends SparkSpec {
       (2L, 1L, 4L, 7L, 0.571429)))
   }
 
+  test("duplicateSpans + spanStats: equal a brute-force local oracle on a random corpus") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with a small token vocabulary
+    // so cross-doc gram collisions are frequent and varied
+    def rng(seed: Long): Iterator[Long] =
+      Iterator.iterate(graft.util.Hashing.mix64(seed))(graft.util.Hashing.mix64)
+    val n = 4
+    val corpus = (0L until 80L).map { i =>
+      val len = 2 + (rng(i).next() % 23 + 23) % 23 // 2..24 tokens (some < n)
+      val toks = rng(i * 7 + 1).take(len.toInt).map(h => s"w${(h % 9 + 9) % 9}").toSeq
+      (i, toks.mkString(" "))
+    }
+    // brute force: gram -> distinct docs; flagged positions; island merge
+    val byGram = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    val posByDoc = corpus.map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty) // already lowercase
+      val grams = if (toks.length < n) Array.empty[(Int, String)]
+      else (0 to toks.length - n).map(i => (i, toks.slice(i, i + n).mkString(" "))).toArray
+      grams.foreach { case (_, g) => byGram.getOrElseUpdate(g, scala.collection.mutable.Set.empty) += id }
+      (id, grams, toks.length)
+    }
+    val expected = posByDoc.flatMap { case (id, grams, _) =>
+      val ps = grams.collect { case (p, g) if byGram(g).size >= 2 => p }
+      if (ps.isEmpty) Nil
+      else {
+        val islands = ps.foldLeft(List.empty[List[Int]]) {
+          case (acc, p) if acc.nonEmpty && p - acc.head.head <= n => (p :: acc.head) :: acc.tail
+          case (acc, p) => List(p) :: acc
+        }
+        islands.map(isl => (id, isl.min.toLong, (isl.max + n - 1).toLong, isl.size.toLong))
+      }
+    }.toSet
+    val got = spans(corpus, n = n, minDf = 2)
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}")
+    assert(expected.nonEmpty)
+    // spanStats totals derive from the same spans
+    val stats = graft.dedup.SpanDedup
+      .spanStats(spark, corpus.toDF("doc_id", "text"), "doc_id", "text", n, 2)
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val expStats = expected.groupBy(_._1).map { case (id, ss) =>
+      val dup = ss.toSeq.map(s => s._3 - s._2 + 1).sum
+      val total = posByDoc.find(_._1 == id).get._3.toLong
+      (id, ss.size.toLong, dup, total,
+        BigDecimal(dup.toDouble / total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    assert(stats == expStats)
+  }
+
+  test("streamingSpanStats: stateless stream profile matches batch spanStats") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().take(150)
+    val corpusDf = corpus.toSeq.toDF("doc_id", "text")
+    val bc = graft.dedup.SpanDedup.dupGramSet(spark, corpusDf, "doc_id", "text", 4, 2)
+    assert(bc.value.nonEmpty)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val flagged = graft.dedup.SpanDedup.streamingSpanStats(
+      input.toDS().toDF("doc_id", "text"), "text", bc, 4)
+    val q = flagged.writeStream.format("memory").queryName("stream_spans")
+      .outputMode("append").start()
+    input.addData(corpus.take(70).toSeq)
+    q.processAllAvailable()
+    input.addData(corpus.drop(70).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark
+      .sql("SELECT doc_id, n_spans, dup_tokens, total_tokens, dup_fraction FROM stream_spans")
+      .as[(Long, Int, Long, Long, Double)].collect()
+    assert(got.length == corpus.length)
+    val batch = graft.dedup.SpanDedup
+      .spanStats(spark, corpusDf, "doc_id", "text", 4, 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    got.foreach { case (id, nSpans, dup, total, frac) =>
+      batch.get(id) match {
+        case Some((_, bN, bDup, bTotal, bFrac)) =>
+          assert(nSpans.toLong == bN && dup == bDup && total == bTotal && frac == bFrac, s"doc $id")
+        case None => // batch report omits span-free docs; stream gives zeros
+          assert(nSpans == 0 && dup == 0L, s"doc $id should be span-free")
+      }
+    }
+    assert(got.exists(_._2 > 0) && got.exists(_._2 == 0)) // non-vacuous both ways
+  }
+
   test("duplicateSpans: deterministic under repartitioning") {
     import spark.implicits._
     val rows = (0L until 60L).map { i =>
