@@ -98,6 +98,13 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     val removedClips = removed.filter(_ >= 200000)
     assert(removedClips.nonEmpty && removedClips.subsetOf(clipIds))
+    // the MinHashLsh stage (the cheap-scale path) removes the same
+    // clips here: banding recall at J ~ 0.9 clip pairs is ~1, and LSH
+    // survivors can only be a superset of the exact stage's (banding
+    // loses pairs, never invents them — exact re-scoring)
+    val withLsh = run(Curation.NearDupStage.MinHashLsh(0.6, 3))
+    assert(withNd.subsetOf(withLsh) && withLsh.subsetOf(without))
+    assert((without -- withLsh).exists(_ >= 200000), "LSH stage removed no clips")
     // composite floor holds on every survivor (replay the column expr)
     val qualities = corpus
       .withColumn("q", graft.text.TextOps.qualityScore(col("text")))
