@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Decontam
+import graft.pipeline.Curation
+import graft.pipeline.Curation.NearDupStage
+
+/** The spark-submit entry of the training-corpus curation recipe:
+  * corpus + held-out eval slice -> curated corpus parquet, plus the
+  * audit tables a data owner wants next to the mix (the contamination
+  * report, and the per-doc span profile when the boilerplate stage is
+  * on).
+  *
+  *   spark-submit --class graft.RunCuration <jar> \
+  *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
+  *     [--min-tokens N] [--quality-floor F] \
+  *     [--neardup exact:<t> | lsh:<t>] [--max-dup-fraction F] \
+  *     [--shingle-n N] [--rates en=0.5,zh=0.25] [--default-rate F]
+  *
+  * Input contract: corpus table with (doc_id long, text string,
+  * <strata> string, ...); eval table with (text string). Column names
+  * override via --id-col/--text-col/--strata-col/--eval-text-col.
+  * The curated corpus is written partitioned by the strata column
+  * (the mix consumer reads one stratum at a time); the decontam
+  * report is the narrow (id, n_shared_grams) audit table.
+  */
+object RunCuration {
+
+  final case class Args(
+      docs: String = "",
+      eval: String = "",
+      out: String = "",
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      strataCol: String = "lang",
+      evalTextCol: String = "text",
+      minTokens: Int = 0,
+      qualityFloor: Option[Double] = None,
+      nearDup: NearDupStage = NearDupStage.Off,
+      maxDupFraction: Option[Double] = None,
+      shingleN: Int = 13,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0
+  )
+
+  def parseNearDup(v: String): NearDupStage = v.split(":", 2) match {
+    case Array("off") => NearDupStage.Off
+    case Array("exact", t) => NearDupStage.ExactJaccard(t.toDouble)
+    case Array("lsh", t) => NearDupStage.MinHashLsh(t.toDouble)
+    case _ =>
+      throw new IllegalArgumentException(
+        s"--neardup expects off | exact:<threshold> | lsh:<threshold>, got '$v'")
+  }
+
+  def parseRates(v: String): Map[String, Double] =
+    v.split(",").filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, r) => k -> r.toDouble
+        case _ => throw new IllegalArgumentException(s"--rates expects k=v[,k=v...], got '$kv'")
+      }
+    }.toMap
+
+  def parse(argv: List[String], acc: Args = Args()): Args = argv match {
+    case "--docs" :: v :: rest => parse(rest, acc.copy(docs = v))
+    case "--eval" :: v :: rest => parse(rest, acc.copy(eval = v))
+    case "--out" :: v :: rest => parse(rest, acc.copy(out = v))
+    case "--id-col" :: v :: rest => parse(rest, acc.copy(idCol = v))
+    case "--text-col" :: v :: rest => parse(rest, acc.copy(textCol = v))
+    case "--strata-col" :: v :: rest => parse(rest, acc.copy(strataCol = v))
+    case "--eval-text-col" :: v :: rest => parse(rest, acc.copy(evalTextCol = v))
+    case "--min-tokens" :: v :: rest => parse(rest, acc.copy(minTokens = v.toInt))
+    case "--quality-floor" :: v :: rest => parse(rest, acc.copy(qualityFloor = Some(v.toDouble)))
+    case "--neardup" :: v :: rest => parse(rest, acc.copy(nearDup = parseNearDup(v)))
+    case "--max-dup-fraction" :: v :: rest =>
+      parse(rest, acc.copy(maxDupFraction = Some(v.toDouble)))
+    case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = v.toInt))
+    case "--rates" :: v :: rest => parse(rest, acc.copy(rates = parseRates(v)))
+    case "--default-rate" :: v :: rest => parse(rest, acc.copy(defaultRate = v.toDouble))
+    case Nil => acc
+    case other => throw new IllegalArgumentException(s"unknown args: $other")
+  }
+
+  /** Composable core (spec-tested): curate, write the partitioned
+    * corpus + the decontam audit report (+ span profile when the
+    * boilerplate stage is on), return (input, curated) counts.
+    */
+  def run(spark: SparkSession, docs: DataFrame, eval: DataFrame, a: Args): (Long, Long) = {
+    val curated = Curation.curate(
+      spark, docs, eval,
+      a.idCol, a.textCol, a.strataCol, a.evalTextCol,
+      a.minTokens, a.rates, a.defaultRate, a.shingleN,
+      a.nearDup, a.qualityFloor, a.maxDupFraction)
+    curated.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
+
+    Decontam
+      .contaminationReport(spark, docs, eval, a.idCol, a.textCol, a.evalTextCol, a.shingleN)
+      .write.mode("overwrite").parquet(s"${a.out}/decontam_report")
+    a.maxDupFraction.foreach { _ =>
+      graft.dedup.SpanDedup
+        .spanStats(spark, docs, a.idCol, a.textCol)
+        .write.mode("overwrite").parquet(s"${a.out}/span_stats")
+    }
+
+    val in = docs.count()
+    val outN = spark.read.parquet(s"${a.out}/corpus").count()
+    (in, outN)
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val a = parse(argv.toList)
+    require(a.docs.nonEmpty && a.eval.nonEmpty && a.out.nonEmpty,
+      "--docs, --eval and --out are required")
+    val spark = SparkSession.builder()
+      .master(sys.props.getOrElse("spark.master", "local[*]"))
+      .appName("graft-curation")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(a.docs)
+    val eval = spark.read.parquet(a.eval)
+    val (in, out) = run(spark, docs, eval, a)
+    println(s"""{"input_docs":$in,"curated_docs":$out,"out":"${a.out}"}""")
+    spark.stop()
+  }
+}

@@ -114,6 +114,36 @@ class CurationSpec extends SparkSpec {
     assert(corpus.count() > without.size)
   }
 
+  test("RunCuration: spark-submit core writes partitioned corpus + audit tables") {
+    import spark.implicits._
+    val all = spark.read.parquet(docs)
+    val corpus = all.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val eval = all.where(col("doc_id") % 20 === 0).select(col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "unused", "--eval", "unused", "--out", out,
+      "--min-tokens", "20", "--quality-floor", "0.72",
+      "--neardup", "exact:0.6", "--max-dup-fraction", "0.9",
+      "--shingle-n", "6", "--rates", "en=0.9,zh=0.8", "--default-rate", "0.7"))
+    assert(args.nearDup == Curation.NearDupStage.ExactJaccard(0.6))
+    assert(args.rates == Map("en" -> 0.9, "zh" -> 0.8))
+    val (in, outN) = RunCuration.run(spark, corpus, eval, args)
+    assert(in == corpus.count() && outN > 0 && outN < in)
+    // partitioned layout + curated ids are a subset of the corpus
+    val curated = spark.read.parquet(s"$out/corpus")
+    assert(curated.columns.contains("lang"))
+    val ids = curated.select(col("doc_id")).as[Long].collect().toSet
+    val corpusIds = corpus.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.subsetOf(corpusIds))
+    // audit tables exist and are consistent
+    val report = spark.read.parquet(s"$out/decontam_report")
+    assert(report.columns.toSet == Set("doc_id", "n_shared_grams"))
+    val flagged = report.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.intersect(flagged).isEmpty) // no contaminated doc survived
+    assert(spark.read.parquet(s"$out/span_stats").count() > 0)
+  }
+
   test("curate: boilerplate stage drops span-heavy docs that near-dup keeps") {
     import spark.implicits._
     val boiler = "terms of service apply to all users of this site always"
