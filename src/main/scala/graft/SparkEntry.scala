@@ -543,6 +543,24 @@ object SparkEntry {
       Dedup.nearDupSurvivorsFromPairs(docsWithClips(s, dir), jaccardPairTable(s, dir), "doc_id")
         .select(col("doc_id"))),
 
+    // ---- dedup: TRANSITIVE near-dup clusters (connected components
+    //      of the pair graph, min-id label, singletons label
+    //      themselves) — the same CC the KG canonicalization ships,
+    //      over the memoized pair table
+    "q_neardup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(s, docsWithClips(s, dir), jaccardPairTable(s, dir), "doc_id")),
+
+    // ---- dedup: quality-aware survivor policy — per transitive
+    //      cluster keep the argmax rounded-quality doc (tie: min id);
+    //      the policy that keeps the BEST copy rather than the oldest
+    "q_neardup_best" -> ((s, dir) => {
+      val docs = docsWithClips(s, dir)
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+      Dedup
+        .nearDupSurvivorsByQuality(s, docs, jaccardPairTable(s, dir), "doc_id", "quality")
+        .select(col("doc_id"))
+    }),
+
     // ---- dedup: MinHash precision guard — LSH output anti-joined
     //      against the EXACT prefix-filtered join must be empty
     //      (minhashNearDupPairs re-scores candidates exactly, so
@@ -1177,6 +1195,25 @@ object SparkEntry {
       val whens = markers.zip(scores).map { case ((l, _), sc) => s"WHEN $sc = best AND $sc > 0 THEN '$l'" }
       (scores, best, whens)
     }
+    // THE shared clips-corpus + 3-gram shingle-set CTEs of the
+    // exact-Jaccard family (q_jaccard_pairs / q_neardup_survivors /
+    // q_neardup_clusters / q_neardup_best all interpolate this one
+    // definition — in lockstep with docsWithClipsLang)
+    val clipShingleCtes =
+      """corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    array_to_string(w[1:greatest(len(w) - 3, 1)], ' ')
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 4 = 0)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+        |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
+        |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+        |        FROM corpus))""".stripMargin
     // THE shared CTE chain of the two span oracles (position-indexed
     // 6-gram windows with 0-based starts, df >= 2 distinct docs,
     // gaps-and-islands where the next start is <= previous + 6) — both
@@ -1754,45 +1791,75 @@ object SparkEntry {
           |FROM events, ref WHERE value >= lo AND value <= hi
           |GROUP BY user_id""".stripMargin,
       "q_jaccard_pairs" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 200000,
-          |    array_to_string(w[1:greatest(len(w) - 3, 1)], ' ')
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 4 = 0)),
-          |sh AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-          |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
-          |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-          |  FROM (SELECT doc_id,
-          |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-          |        FROM corpus))
-          |SELECT id_a, id_b, jaccard FROM (
-          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-          |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
-          |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-          |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-          |WHERE jaccard >= 0.6""".stripMargin,
+        s"""WITH $clipShingleCtes
+           |SELECT id_a, id_b, jaccard FROM (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |WHERE jaccard >= 0.6""".stripMargin,
       "q_neardup_survivors" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 200000,
-          |    array_to_string(w[1:greatest(len(w) - 3, 1)], ' ')
-          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 4 = 0)),
-          |sh AS (
-          |  SELECT doc_id,
-          |    CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-          |         ELSE list_distinct(list_transform(range(1, len(w) - 1),
-          |                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS sh
-          |  FROM (SELECT doc_id,
-          |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
-          |        FROM corpus))
-          |SELECT doc_id FROM sh WHERE doc_id NOT IN (
-          |  SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-          |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)""".stripMargin,
+        s"""WITH $clipShingleCtes
+           |SELECT doc_id FROM sh WHERE doc_id NOT IN (
+           |  SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6)""".stripMargin,
+      // transitive clusters of the same pair graph: recursive min-label
+      // walk (q_cc_components' pattern), singletons label themselves
+      "q_neardup_clusters" ->
+        s"""WITH RECURSIVE $clipShingleCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+           |adj AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |walk AS (
+           |  SELECT a AS id, a AS reach FROM adj
+           |  UNION
+           |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
+           |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+           |SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_id
+           |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id""".stripMargin,
+      // quality-aware survivor policy: per transitive cluster keep the
+      // argmax rounded-quality doc (tie: min id) — the rounded score is
+      // the q_text_stats expression, hash-green cross-engine
+      "q_neardup_best" -> {
+        val stopHits = hits(markers.flatMap(_._2))
+        s"""WITH RECURSIVE $clipShingleCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+           |adj AS (
+           |  SELECT id_a AS a, id_b AS b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |walk AS (
+           |  SELECT a AS id, a AS reach FROM adj
+           |  UNION
+           |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
+           |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+           |qual AS (
+           |  SELECT doc_id,
+           |    coalesce(comp.component, doc_id) AS cluster_id,
+           |    round(
+           |      (CASE WHEN len(text) < 20 THEN len(text) / 20.0 WHEN len(text) > 2000 THEN 0.5 ELSE 1.0 END) * 0.3
+           |      + (CASE WHEN len(text) > 0 THEN len(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / len(text) ELSE 0.0 END) * 0.4
+           |      + (CASE WHEN token_count > 0 THEN least($stopHits * 1.0 / token_count * 4.0, 1.0) ELSE 0.0 END) * 0.3
+           |    , 6) AS quality
+           |  FROM (SELECT doc_id, text,
+           |          CASE WHEN len(trim(text)) = 0 THEN 0
+           |               ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count
+           |        FROM corpus) c
+           |  LEFT JOIN comp ON comp.id = c.doc_id)
+           |SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER (
+           |    PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) AS rn
+           |  FROM qual) WHERE rn = 1""".stripMargin
+      },
       "q_window_match" ->
         """WITH seq AS (
           |  SELECT user_id, event_type AS tkt, CAST(floor(value / 5.0) AS BIGINT) AS tkc,

@@ -278,6 +278,53 @@ object Dedup {
     df.join(dominated, df(idCol).cast("long") === dominated(idCol), "left_anti")
   }
 
+  /** Near-dup CLUSTER ids: connected components of the pair graph
+    * (transitive closure — A~B and B~C cluster A,B,C even when A,C
+    * never paired), labeled by the cluster's min id; docs in no pair
+    * are their own singleton cluster. Reuses the KG pipeline's
+    * large-star/small-star CC (driver-local union-find under the
+    * usual threshold); the dedup-cluster view is the same algorithm
+    * the canonicalization stage already ships.
+    */
+  def nearDupClusters(
+      spark: SparkSession,
+      df: DataFrame,
+      pairs: DataFrame, // (id_a, id_b), id_a < id_b
+      idCol: String
+  ): DataFrame = {
+    val cc = graft.canon.ConnectedComponents
+      .run(spark, pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      .withColumnRenamed("id", "_cc_id")
+    df.select(col(idCol).cast("long").as(idCol))
+      .join(cc, col(idCol) === col("_cc_id"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+  }
+
+  /** Quality-aware survivor policy: per near-dup CLUSTER keep the
+    * highest-quality document (tie: min id) — the policy a production
+    * pipeline actually wants (the pairwise smaller-id-wins form keeps
+    * the OLDEST copy; this keeps the BEST). Clusters are transitive
+    * (see [[nearDupClusters]]); the per-cluster argmax is a window
+    * over cluster_id — dup clusters are small by construction, so the
+    * window tasks are bounded.
+    */
+  def nearDupSurvivorsByQuality(
+      spark: SparkSession,
+      df: DataFrame, // carries idCol + qualityCol
+      pairs: DataFrame,
+      idCol: String,
+      qualityCol: String
+  ): DataFrame = {
+    val clusters = nearDupClusters(spark, df.select(col(idCol)), pairs, idCol)
+    val w = Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(qualityCol).desc, col(idCol).asc)
+    df.join(clusters, Seq(idCol))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .drop("_rn", "cluster_id")
+  }
+
   /** Brute-force n-gram Jaccard pairs (the small-scale oracle for the
     * LSH variant; O(n^2) — test scale only).
     */

@@ -255,4 +255,29 @@ class DedupAnnSpec extends SparkSpec {
     val t2 = t1.dropRight(2) :+ "tokX"
     assert(TextOps.hamming64(TextOps.simhash64(t1), TextOps.simhash64(t2)) <= 12)
   }
+
+  test("near-dup clusters are transitive; quality survivor keeps the best copy, not the oldest") {
+    import spark.implicits._
+    // chain A~B, B~C with A!~C, plus an isolated doc D
+    val docs = Seq(
+      (1L, "a", 0.5), (2L, "b", 0.9), (3L, "c", 0.7), (9L, "d", 0.1)
+    ).toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val clusters = Dedup.nearDupClusters(spark, docs, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+    // pairwise smaller-id-wins keeps doc 1 (quality 0.5); the
+    // quality policy keeps doc 2 (0.9) — and the singleton survives
+    val byId = Dedup.nearDupSurvivorsFromPairs(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byId == Set(1L, 9L))
+    val best = Dedup.nearDupSurvivorsByQuality(spark, docs, pairs, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(best == Set(2L, 9L))
+    // quality tie falls back to min id
+    val tied = docs.withColumn("quality", org.apache.spark.sql.functions.lit(0.5))
+    val tieBest = Dedup.nearDupSurvivorsByQuality(spark, tied, pairs, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(tieBest == Set(1L, 9L))
+  }
 }
