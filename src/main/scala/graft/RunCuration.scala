@@ -17,7 +17,7 @@ import graft.pipeline.Curation.NearDupStage
   *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
   *     [--min-tokens N] [--quality-floor F] \
   *     [--neardup exact:<t> | lsh:<t>] [--max-dup-fraction F] \
-  *     [--shingle-n N] [--rates en=0.5,zh=0.25] [--default-rate F]
+  *     [--shingle-n N] [--rates en=0.5,zh=0.25] [--default-rate F] [--redact]
   *
   * Input contract: corpus table with (doc_id long, text string,
   * <strata> string, ...); eval table with (text string). Column names
@@ -42,7 +42,8 @@ object RunCuration {
       maxDupFraction: Option[Double] = None,
       shingleN: Int = 13,
       rates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0
+      defaultRate: Double = 1.0,
+      redact: Boolean = false
   )
 
   def parseNearDup(v: String): NearDupStage = v.split(":", 2) match {
@@ -78,6 +79,7 @@ object RunCuration {
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = v.toInt))
     case "--rates" :: v :: rest => parse(rest, acc.copy(rates = parseRates(v)))
     case "--default-rate" :: v :: rest => parse(rest, acc.copy(defaultRate = v.toDouble))
+    case "--redact" :: rest => parse(rest, acc.copy(redact = true))
     case Nil => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
   }
@@ -92,7 +94,13 @@ object RunCuration {
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
       a.nearDup, a.qualityFloor, a.maxDupFraction)
-    curated.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
+    // PII scrubbing runs LAST, on the shipped mix only (earlier stages
+    // must see the original text so dedup/decontam semantics match
+    // their oracles)
+    val shipped =
+      if (a.redact) curated.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
+      else curated
+    shipped.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
 
     Decontam
       .contaminationReport(spark, docs, eval, a.idCol, a.textCol, a.evalTextCol, a.shingleN)

@@ -205,6 +205,22 @@ object SparkEntry {
     d.union(clipped)
   }
 
+  /** documents with deterministic injected PII (the scrub stage needs
+    * rows that actually leak; the injection expression is replayed
+    * verbatim in the q_pii_* oracle SQL — keep in lockstep).
+    */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    read(s, dir, "documents").select(
+      col("doc_id"),
+      when(
+        col("doc_id") % 7 === 0,
+        concat(
+          col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1 555-01"),
+          col("doc_id"), lit(" from 10.0."), col("doc_id") % 256,
+          lit(".1 ssn 123-45-6789"))
+      ).otherwise(col("text")).as("text"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- A3-flavor grouped aggregation profile over lineitem
     "q_agg_pricing" -> ((s, dir) => {
@@ -717,6 +733,20 @@ object SparkEntry {
         }
         .toDF("doc_id", "surface_id", "n_mentions")
     }),
+
+    // ---- PII scan: per-type hit counts over the injected corpus
+    //      (pure codegen'd regex columns — scan-side at any scale)
+    "q_pii_scan" -> ((s, dir) =>
+      graft.text.Redact.piiCounts(col("text"))
+        .foldLeft(docsWithPii(s, dir)) { case (df, (n, c)) => df.withColumn(n, c) }
+        .drop("text")),
+
+    // ---- PII redaction: every match replaced with its type tag in
+    //      the documented order; the full redacted text is the
+    //      compared value (byte-for-byte cross-engine)
+    "q_pii_redact" -> ((s, dir) =>
+      docsWithPii(s, dir)
+        .select(col("doc_id"), graft.text.Redact.redact(col("text")).as("redacted"))),
 
     // ---- text analysis: token count, language ID, quality score
     "q_text_stats" -> ((s, dir) =>
@@ -2062,6 +2092,37 @@ object SparkEntry {
         """SELECT 'ivf_recall_at_5_ge_floor' AS check_name, true AS ok""",
       "q_hotspot_approx_guard" ->
         """SELECT 'hll_max_rel_err_le_eps' AS check_name, true AS ok""",
+      // PII rows: the injection CASE mirrors docsWithPii verbatim; the
+      // detection/replacement SQL is GENERATED from Redact.patterns so
+      // the regexes and order cannot diverge from the Scala side
+      "q_pii_scan" -> {
+        val counts = graft.text.Redact.patterns
+          .map { case (n, p, _) => s"len(regexp_extract_all(text, '$p')) AS n_${n}s" }
+          .mkString(",\n  ")
+        s"""WITH pii AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+           |      || '@example.com or +1 555-01' || doc_id::VARCHAR
+           |      || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1 ssn 123-45-6789'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $counts
+           |FROM pii""".stripMargin
+      },
+      "q_pii_redact" -> {
+        val redacted = graft.text.Redact.patterns.foldLeft("text") {
+          case (acc, (_, p, tag)) => s"regexp_replace($acc, '$p', '$tag', 'g')"
+        }
+        s"""WITH pii AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id::VARCHAR
+           |      || '@example.com or +1 555-01' || doc_id::VARCHAR
+           |      || ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1 ssn 123-45-6789'
+           |    ELSE text END AS text
+           |  FROM documents)
+           |SELECT doc_id, $redacted AS redacted FROM pii""".stripMargin
+      },
       "q_text_stats" -> {
         val (scores, best, whens) = langCase
         s"""SELECT doc_id,

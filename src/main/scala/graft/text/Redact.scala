@@ -1,0 +1,56 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction for training corpora — the scrubbing
+  * stage a data pipeline runs on the curated mix before it ships
+  * (emails, phone numbers, IPv4 addresses, SSN-shaped ids). Everything
+  * is a pure Column expression over codegen'd regex functions: no UDF,
+  * no shuffle, scan-side at any scale.
+  *
+  * The patterns are deliberately written in the common subset of
+  * Java's regex dialect and RE2 (no backreferences, no lookaround) so
+  * the DuckDB oracle replays detection AND replacement byte-for-byte —
+  * the cross-engine equality is part of the correctness surface
+  * (q_pii_scan / q_pii_redact), not an aspiration. A production
+  * deployment swaps in its jurisdiction's pattern set; the operator
+  * shape (count columns + ordered replacement chain) is what scales.
+  */
+object Redact {
+
+  /** Pattern strings (shared with the oracle SQL via [[patterns]]). */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val SsnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhonePat = "\\+\\d[\\d\\-() ]{7,}\\d"
+
+  /** (name, pattern, replacement) in REDACTION ORDER — email first
+    * (its local part may contain digits), then the digit-shaped
+    * patterns from most to least specific so the greedy phone pattern
+    * never eats an SSN or IP.
+    */
+  val patterns: Seq[(String, String, String)] = Seq(
+    ("email", EmailPat, "[EMAIL]"),
+    ("ssn", SsnPat, "[SSN]"),
+    ("ip", Ipv4Pat, "[IP]"),
+    ("phone", PhonePat, "[PHONE]")
+  )
+
+  private def count(text: Column, pat: String): Column =
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+
+  /** Per-type PII hit counts: n_emails, n_ssns, n_ips, n_phones. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    patterns.map { case (name, pat, _) => s"n_${name}s" -> count(text, pat) }
+
+  /** Any-PII predicate (the filter form: drop rows that leak). */
+  def containsPii(text: Column): Column =
+    patterns.map { case (_, pat, _) => count(text, pat) > 0 }.reduce(_ || _)
+
+  /** Redacted text: every match replaced with its type tag, applied in
+    * [[patterns]] order.
+    */
+  def redact(text: Column): Column =
+    patterns.foldLeft(text) { case (acc, (_, pat, tag)) => regexp_replace(acc, pat, tag) }
+}

@@ -142,6 +142,19 @@ class CurationSpec extends SparkSpec {
     val flagged = report.select(col("doc_id")).as[Long].collect().toSet
     assert(ids.intersect(flagged).isEmpty) // no contaminated doc survived
     assert(spark.read.parquet(s"$out/span_stats").count() > 0)
+
+    // --redact scrubs the SHIPPED mix only (stages saw original text)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString
+    val withPii = corpus.withColumn("text",
+      concat(col("text"), lit(" reach me at leak"), col("doc_id"), lit("@corp.example")))
+    val args2 = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out2, "--shingle-n", "6", "--redact"))
+    assert(args2.redact)
+    val (_, n2) = RunCuration.run(spark, withPii, eval, args2)
+    assert(n2 > 0)
+    val shipped = spark.read.parquet(s"$out2/corpus")
+    assert(shipped.where(col("text").contains("@corp.example")).count() == 0)
+    assert(shipped.where(col("text").contains("[EMAIL]")).count() == n2)
   }
 
   test("curate: boilerplate stage drops span-heavy docs that near-dup keeps") {
