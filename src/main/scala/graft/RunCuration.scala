@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.Decontam
 import graft.pipeline.Curation
 import graft.pipeline.Curation.NearDupStage
 
@@ -46,10 +45,20 @@ object RunCuration {
       redact: Boolean = false
   )
 
+  private def numD(flag: String, v: String): Double =
+    try v.toDouble
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$flag expects a number, got '$v'") }
+
+  private def numI(flag: String, v: String): Int =
+    try v.toInt
+    catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(s"$flag expects an integer, got '$v'") }
+
   def parseNearDup(v: String): NearDupStage = v.split(":", 2) match {
     case Array("off") => NearDupStage.Off
-    case Array("exact", t) => NearDupStage.ExactJaccard(t.toDouble)
-    case Array("lsh", t) => NearDupStage.MinHashLsh(t.toDouble)
+    case Array("exact", t) => NearDupStage.ExactJaccard(numD("--neardup exact", t))
+    case Array("lsh", t) => NearDupStage.MinHashLsh(numD("--neardup lsh", t))
     case _ =>
       throw new IllegalArgumentException(
         s"--neardup expects off | exact:<threshold> | lsh:<threshold>, got '$v'")
@@ -58,7 +67,7 @@ object RunCuration {
   def parseRates(v: String): Map[String, Double] =
     v.split(",").filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
-        case Array(k, r) => k -> r.toDouble
+        case Array(k, r) => k -> numD("--rates", r)
         case _ => throw new IllegalArgumentException(s"--rates expects k=v[,k=v...], got '$kv'")
       }
     }.toMap
@@ -71,14 +80,16 @@ object RunCuration {
     case "--text-col" :: v :: rest => parse(rest, acc.copy(textCol = v))
     case "--strata-col" :: v :: rest => parse(rest, acc.copy(strataCol = v))
     case "--eval-text-col" :: v :: rest => parse(rest, acc.copy(evalTextCol = v))
-    case "--min-tokens" :: v :: rest => parse(rest, acc.copy(minTokens = v.toInt))
-    case "--quality-floor" :: v :: rest => parse(rest, acc.copy(qualityFloor = Some(v.toDouble)))
+    case "--min-tokens" :: v :: rest => parse(rest, acc.copy(minTokens = numI("--min-tokens", v)))
+    case "--quality-floor" :: v :: rest =>
+      parse(rest, acc.copy(qualityFloor = Some(numD("--quality-floor", v))))
     case "--neardup" :: v :: rest => parse(rest, acc.copy(nearDup = parseNearDup(v)))
     case "--max-dup-fraction" :: v :: rest =>
-      parse(rest, acc.copy(maxDupFraction = Some(v.toDouble)))
-    case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = v.toInt))
+      parse(rest, acc.copy(maxDupFraction = Some(numD("--max-dup-fraction", v))))
+    case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--rates" :: v :: rest => parse(rest, acc.copy(rates = parseRates(v)))
-    case "--default-rate" :: v :: rest => parse(rest, acc.copy(defaultRate = v.toDouble))
+    case "--default-rate" :: v :: rest =>
+      parse(rest, acc.copy(defaultRate = numD("--default-rate", v)))
     case "--redact" :: rest => parse(rest, acc.copy(redact = true))
     case Nil => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
@@ -89,7 +100,7 @@ object RunCuration {
     * boilerplate stage is on), return (input, curated) counts.
     */
   def run(spark: SparkSession, docs: DataFrame, eval: DataFrame, a: Args): (Long, Long) = {
-    val curated = Curation.curate(
+    val staged = Curation.curateStaged(
       spark, docs, eval,
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
@@ -98,18 +109,18 @@ object RunCuration {
     // must see the original text so dedup/decontam semantics match
     // their oracles)
     val shipped =
-      if (a.redact) curated.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
-      else curated
+      if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
+      else staged.sampled
     shipped.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
 
-    Decontam
-      .contaminationReport(spark, docs, eval, a.idCol, a.textCol, a.evalTextCol, a.shingleN)
+    // audit tables are the EXACT plans the stages thresholded (the
+    // report the anti-join consumed, the span profile the cap read) —
+    // an audit computed over a different corpus could contradict the
+    // drop decisions it is meant to explain
+    staged.contaminationReport
       .write.mode("overwrite").parquet(s"${a.out}/decontam_report")
-    a.maxDupFraction.foreach { _ =>
-      graft.dedup.SpanDedup
-        .spanStats(spark, docs, a.idCol, a.textCol)
-        .write.mode("overwrite").parquet(s"${a.out}/span_stats")
-    }
+    staged.spanProfile.foreach(
+      _.write.mode("overwrite").parquet(s"${a.out}/span_stats"))
 
     val in = docs.count()
     val outN = spark.read.parquet(s"${a.out}/corpus").count()

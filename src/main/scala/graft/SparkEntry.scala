@@ -1244,6 +1244,22 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
         |        FROM corpus))""".stripMargin
+    // THE pair-graph -> min-label component CTEs shared by the two
+    // cluster oracles (recursive walk, q_cc_components' pattern)
+    val clipPairComponentCtes =
+      """pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
+        |adj AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |walk AS (
+        |  SELECT a AS id, a AS reach FROM adj
+        |  UNION
+        |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
+        |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)""".stripMargin
     // THE shared CTE chain of the two span oracles (position-indexed
     // 6-gram windows with 0-based starts, df >= 2 distinct docs,
     // gaps-and-islands where the next start is <= previous + 6) — both
@@ -1838,19 +1854,7 @@ object SparkEntry {
       // walk (q_cc_components' pattern), singletons label themselves
       "q_neardup_clusters" ->
         s"""WITH RECURSIVE $clipShingleCtes,
-           |pairs AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-           |adj AS (
-           |  SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |walk AS (
-           |  SELECT a AS id, a AS reach FROM adj
-           |  UNION
-           |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
-           |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id)
+           |$clipPairComponentCtes
            |SELECT c.doc_id, coalesce(comp.component, c.doc_id) AS cluster_id
            |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id""".stripMargin,
       // quality-aware survivor policy: per transitive cluster keep the
@@ -1859,19 +1863,7 @@ object SparkEntry {
       "q_neardup_best" -> {
         val stopHits = hits(markers.flatMap(_._2))
         s"""WITH RECURSIVE $clipShingleCtes,
-           |pairs AS (
-           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-           |  WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
-           |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6),
-           |adj AS (
-           |  SELECT id_a AS a, id_b AS b FROM pairs
-           |  UNION SELECT id_b, id_a FROM pairs),
-           |walk AS (
-           |  SELECT a AS id, a AS reach FROM adj
-           |  UNION
-           |  SELECT w.id, adj.b FROM walk w JOIN adj ON adj.a = w.reach),
-           |comp AS (SELECT id, min(reach) AS component FROM walk GROUP BY id),
+           |$clipPairComponentCtes,
            |qual AS (
            |  SELECT doc_id,
            |    coalesce(comp.component, doc_id) AS cluster_id,

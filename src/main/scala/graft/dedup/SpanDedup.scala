@@ -89,18 +89,7 @@ object SpanDedup {
       maxDf: Option[Long] = None
   ): DataFrame = {
     val grams = positionalGrams(spark, df, idCol, textCol, shingleN)
-    // maxDf is the extreme-scale stoplist cap: a gram in more than
-    // maxDf documents (ubiquitous boilerplate vocabulary) is its own
-    // signal and would otherwise fan its positions into every doc's
-    // span merge; default off — min-df alone is the correctness
-    // definition
-    val dupGrams = maxDf.foldLeft(
-      grams
-        .groupBy(col("gram"))
-        .agg(countDistinct(col(idCol)).as("_df"))
-        .where(col("_df") >= minDf)
-    ) { (d, cap) => d.where(col("_df") <= cap) }
-      .select(col("gram"))
+    val dupGrams = dupGramTable(grams, idCol, minDf, maxDf)
     val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi").select(col(idCol), col("pos"))
 
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
@@ -154,6 +143,29 @@ object SpanDedup {
         round(col("dup_tokens") / col("total_tokens"), 6).as("dup_fraction"))
   }
 
+  /** THE dup-gram selection (one definition for the batch report and
+    * the streaming broadcast table — SpanDedupSpec pins their
+    * equality): document frequency over distinct docs, kept when
+    * df >= minDf; maxDf is the extreme-scale stoplist cap (a gram in
+    * more than maxDf documents — ubiquitous boilerplate vocabulary —
+    * is its own signal and would otherwise fan its positions into
+    * every doc's span merge; default off, min-df alone is the
+    * correctness definition).
+    */
+  private def dupGramTable(
+      posGrams: DataFrame,
+      idCol: String,
+      minDf: Int,
+      maxDf: Option[Long]
+  ): DataFrame =
+    maxDf.foldLeft(
+      posGrams
+        .groupBy(col("gram"))
+        .agg(countDistinct(col(idCol)).as("_df"))
+        .where(col("_df") >= minDf)
+    ) { (d, cap) => d.where(col("_df") <= cap) }
+      .select(col("gram"))
+
   /** Reference-corpus duplicated-gram table for the STREAMING flagger:
     * the sorted gram hashes whose document frequency in `df` is >=
     * minDf (optionally <= maxDf), as a broadcast unboxed Array[Long]
@@ -175,13 +187,8 @@ object SpanDedup {
       maxGrams: Int = 5000000
   ): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     import spark.implicits._
-    val dup = maxDf.foldLeft(
-      positionalGrams(spark, df, idCol, textCol, shingleN)
-        .groupBy(col("gram"))
-        .agg(countDistinct(col(idCol)).as("_df"))
-        .where(col("_df") >= minDf)
-    ) { (d, cap) => d.where(col("_df") <= cap) }
-    val grams = dup.select(col("gram")).as[Long].limit(maxGrams + 1).collect()
+    val dup = dupGramTable(positionalGrams(spark, df, idCol, textCol, shingleN), idCol, minDf, maxDf)
+    val grams = dup.as[Long].limit(maxGrams + 1).collect()
     require(grams.length <= maxGrams,
       s"duplicated-gram set (> $maxGrams grams) exceeds maxGrams=$maxGrams — not broadcastable; " +
         "raise minDf or set a maxDf stoplist cap")
@@ -204,11 +211,21 @@ object SpanDedup {
       dupGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
       shingleN: Int = 6
   ): DataFrame = {
+    // total_tokens replicates TextOps.tokenCount EXACTLY (Spark trim
+    // strips only 0x20 spaces and Spark split keeps empty tokens), so
+    // the streaming profile equals batch spanStats byte-for-byte even
+    // on text with leading/trailing tabs or newlines
+    def sparkTokenCount(t: String): Long = {
+      var b = 0; var e = t.length
+      while (b < e && t.charAt(b) == ' ') b += 1
+      while (e > b && t.charAt(e - 1) == ' ') e -= 1
+      if (e == b) 0L else t.substring(b, e).split("\\s+", -1).length.toLong
+    }
     val stats = udf { (t: String) =>
       if (t == null) (0, 0L, 0L, 0.0)
       else {
         val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        val total = toks.length.toLong
+        val total = sparkTokenCount(t)
         if (toks.length < shingleN) (0, 0L, total, 0.0)
         else {
           val positions = (0 to toks.length - shingleN).iterator.filter { i =>

@@ -68,6 +68,73 @@ object Curation {
     ) extends NearDupStage
   }
 
+  /** The chain with its stage plans exposed (all lazy DataFrames —
+    * nothing is computed until a consumer acts): lets a driver write
+    * the SAME contamination report / span profile the pipeline
+    * thresholded, instead of recomputing an audit over a different
+    * corpus that may contradict the stage decisions.
+    */
+  final case class Staged(
+      deduped: DataFrame,
+      afterNearDup: DataFrame,
+      spanProfile: Option[DataFrame], // what the boilerplate cap thresholded
+      afterSpans: DataFrame,
+      contaminationReport: DataFrame, // what the anti-join removed
+      cleaned: DataFrame,
+      qualified: DataFrame,
+      sampled: DataFrame
+  )
+
+  def curateStaged(
+      spark: SparkSession,
+      docs: DataFrame, // (idCol, textCol, strataCol, ...)
+      evalDocs: DataFrame, // (evalTextCol)
+      idCol: String,
+      textCol: String,
+      strataCol: String,
+      evalTextCol: String,
+      minTokens: Int,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      shingleN: Int = 3,
+      nearDup: NearDupStage = NearDupStage.Off,
+      qualityFloor: Option[Double] = None,
+      maxDupFraction: Option[Double] = None,
+      spanShingleN: Int = 6,
+      spanMinDf: Int = 2
+  ): Staged = {
+    val deduped = Dedup.normalizedExact(docs, idCol, textCol)
+    val afterNearDup = nearDup match {
+      case NearDupStage.Off => deduped
+      case NearDupStage.ExactJaccard(t, n) =>
+        Dedup.nearDupSurvivorsFromPairs(
+          deduped, Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t), idCol)
+      case NearDupStage.MinHashLsh(t, n, bands, rows) =>
+        Dedup.nearDupSurvivorsFromPairs(
+          deduped, Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows),
+          idCol)
+    }
+    val spanProfile = maxDupFraction.map { _ =>
+      SpanDedup.spanStats(spark, afterNearDup, idCol, textCol, spanShingleN, spanMinDf)
+    }
+    val afterSpans = maxDupFraction.zip(spanProfile).foldLeft(afterNearDup) {
+      case (df, (cap, profile)) =>
+        df.join(
+          profile.where(col("dup_fraction") > cap).select(col(idCol)),
+          Seq(idCol), "left_anti")
+    }
+    // decontaminate = report + anti-join (same as Decontam.decontaminate,
+    // opened up so the report the pipeline used IS the audit artifact)
+    val report = Decontam
+      .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
+    val cleaned = afterSpans.join(report.select(col(idCol)), Seq(idCol), "left_anti")
+    val qualified = qualityFloor.foldLeft(
+      cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
+    ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }
+    val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
+    Staged(deduped, afterNearDup, spanProfile, afterSpans, report, cleaned, qualified, sampled)
+  }
+
   def curate(
       spark: SparkSession,
       docs: DataFrame, // (idCol, textCol, strataCol, ...)
@@ -85,30 +152,8 @@ object Curation {
       maxDupFraction: Option[Double] = None,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2
-  ): DataFrame = {
-    val deduped = Dedup.normalizedExact(docs, idCol, textCol)
-    val afterNearDup = nearDup match {
-      case NearDupStage.Off => deduped
-      case NearDupStage.ExactJaccard(t, n) =>
-        Dedup.nearDupSurvivorsFromPairs(
-          deduped, Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t), idCol)
-      case NearDupStage.MinHashLsh(t, n, bands, rows) =>
-        Dedup.nearDupSurvivorsFromPairs(
-          deduped, Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows),
-          idCol)
-    }
-    val afterSpans = maxDupFraction.foldLeft(afterNearDup) { (df, cap) =>
-      val boilerplate = SpanDedup
-        .spanStats(spark, df, idCol, textCol, spanShingleN, spanMinDf)
-        .where(col("dup_fraction") > cap)
-        .select(col(idCol))
-      df.join(boilerplate, Seq(idCol), "left_anti")
-    }
-    val cleaned =
-      Decontam.decontaminate(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
-    val qualified = qualityFloor.foldLeft(
-      cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
-    ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }
-    Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
-  }
+  ): DataFrame =
+    curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
+      minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
+      maxDupFraction, spanShingleN, spanMinDf).sampled
 }

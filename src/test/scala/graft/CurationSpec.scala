@@ -141,7 +141,16 @@ class CurationSpec extends SparkSpec {
     assert(report.columns.toSet == Set("doc_id", "n_shared_grams"))
     val flagged = report.select(col("doc_id")).as[Long].collect().toSet
     assert(ids.intersect(flagged).isEmpty) // no contaminated doc survived
-    assert(spark.read.parquet(s"$out/span_stats").count() > 0)
+    // the span audit is the EXACT profile the cap thresholded (post
+    // near-dup, where sf0.001's 6-gram spans vanish with their pair
+    // partners — an empty table is the honest audit here); schema +
+    // consistency: no survivor may sit over the cap in the audit
+    val spanAudit = spark.read.parquet(s"$out/span_stats")
+    assert(spanAudit.columns.toSet ==
+      Set("doc_id", "n_spans", "dup_tokens", "total_tokens", "dup_fraction"))
+    val overCap = spanAudit.where(col("dup_fraction") > 0.9)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.intersect(overCap).isEmpty)
 
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString

@@ -125,7 +125,11 @@ class SpanDedupSpec extends SparkSpec {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
-      .as[(Long, String)].collect().take(150)
+      .as[(Long, String)].collect().take(150) ++ Seq(
+        // trailing/leading non-space whitespace: tokenCount keeps the
+        // empty split tokens, and the streaming profile must agree
+        (900000L, "shared streaming span block here\n"),
+        (900001L, "\tshared streaming span block here"))
     val corpusDf = corpus.toSeq.toDF("doc_id", "text")
     val bc = graft.dedup.SpanDedup.dupGramSet(spark, corpusDf, "doc_id", "text", 4, 2)
     assert(bc.value.nonEmpty)
