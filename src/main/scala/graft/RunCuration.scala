@@ -16,7 +16,8 @@ import graft.pipeline.Curation.NearDupStage
   *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
   *     [--min-tokens N] [--quality-floor F] \
   *     [--neardup exact:<t> | lsh:<t>] [--max-dup-fraction F] \
-  *     [--shingle-n N] [--rates en=0.5,zh=0.25] [--default-rate F] [--redact]
+  *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \\
+  *     [--rates en=0.5,zh=0.25] [--default-rate F] [--redact]
   *
   * Input contract: corpus table with (doc_id long, text string,
   * <strata> string, ...); eval table with (text string). Column names
@@ -40,6 +41,8 @@ object RunCuration {
       nearDup: NearDupStage = NearDupStage.Off,
       maxDupFraction: Option[Double] = None,
       shingleN: Int = 13,
+      spanShingleN: Int = 6,
+      spanMinDf: Int = 2,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       redact: Boolean = false
@@ -87,6 +90,10 @@ object RunCuration {
     case "--max-dup-fraction" :: v :: rest =>
       parse(rest, acc.copy(maxDupFraction = Some(numD("--max-dup-fraction", v))))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
+    case "--span-shingle-n" :: v :: rest =>
+      parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
+    case "--span-min-df" :: v :: rest =>
+      parse(rest, acc.copy(spanMinDf = numI("--span-min-df", v)))
     case "--rates" :: v :: rest => parse(rest, acc.copy(rates = parseRates(v)))
     case "--default-rate" :: v :: rest =>
       parse(rest, acc.copy(defaultRate = numD("--default-rate", v)))
@@ -104,23 +111,35 @@ object RunCuration {
       spark, docs, eval,
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
-      a.nearDup, a.qualityFloor, a.maxDupFraction)
-    // PII scrubbing runs LAST, on the shipped mix only (earlier stages
-    // must see the original text so dedup/decontam semantics match
-    // their oracles)
-    val shipped =
-      if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
-      else staged.sampled
-    shipped.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
+      a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf)
+    // three writes consume the staged plans; without pinning, EACH
+    // action would replay the dedup + near-dup pair join (the dominant
+    // cost) from scratch. Persist the post-near-dup corpus (the shared
+    // expensive prefix) and the two small audit tables; at the
+    // 100-TB point the equivalent is one staging parquet of
+    // afterNearDup that all three writes scan.
+    import org.apache.spark.storage.StorageLevel
+    val pinned = staged.afterNearDup.persist(StorageLevel.MEMORY_AND_DISK) ::
+      staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
+      staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList
+    try {
+      // PII scrubbing runs LAST, on the shipped mix only (earlier
+      // stages must see the original text so dedup/decontam semantics
+      // match their oracles)
+      val shipped =
+        if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
+        else staged.sampled
+      shipped.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
 
-    // audit tables are the EXACT plans the stages thresholded (the
-    // report the anti-join consumed, the span profile the cap read) —
-    // an audit computed over a different corpus could contradict the
-    // drop decisions it is meant to explain
-    staged.contaminationReport
-      .write.mode("overwrite").parquet(s"${a.out}/decontam_report")
-    staged.spanProfile.foreach(
-      _.write.mode("overwrite").parquet(s"${a.out}/span_stats"))
+      // audit tables are the EXACT (persisted) plans the stages
+      // thresholded — the report the anti-join consumed, the span
+      // profile the cap read; an audit computed over a different
+      // corpus could contradict the drop decisions it explains
+      staged.contaminationReport
+        .write.mode("overwrite").parquet(s"${a.out}/decontam_report")
+      staged.spanProfile.foreach(
+        _.write.mode("overwrite").parquet(s"${a.out}/span_stats"))
+    } finally pinned.foreach(_.unpersist())
 
     val in = docs.count()
     val outN = spark.read.parquet(s"${a.out}/corpus").count()

@@ -152,6 +152,30 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(ids.intersect(overCap).isEmpty)
 
+    // a NON-empty span audit end-to-end: boilerplate-injected corpus,
+    // the written profile is the plan the cap thresholded — over-cap
+    // docs are dropped from the mix and appear in the audit
+    val out3 = java.nio.file.Files.createTempDirectory("graft_curation_span_").toString
+    val boiler = "this exact boilerplate notice appears in many documents verbatim"
+    val spanCorpus = ((0L until 8L).map(i => (i, s"$boiler tail$i", "en")) ++
+      (100L until 110L).map(i =>
+        (i, s"doc$i body$i text$i words$i here$i only$i more$i stuff$i", "en")))
+      .toDF("doc_id", "text", "lang")
+    val args3 = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out3,
+      "--span-shingle-n", "3", "--max-dup-fraction", "0.5", "--shingle-n", "6"))
+    val (in3, n3) = RunCuration.run(spark, spanCorpus,
+      Seq("nothing matching at all").toDF("text"), args3)
+    assert(in3 == 18 && n3 == 10) // every boilerplate doc dropped
+    val audit3 = spark.read.parquet(s"$out3/span_stats")
+    assert(audit3.count() == 8) // the 8 injected docs, profiled
+    val dropped3 = audit3.where(col("dup_fraction") > 0.5)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(dropped3 == (0L until 8L).toSet)
+    val shipped3 = spark.read.parquet(s"$out3/corpus")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(shipped3 == (100L until 110L).toSet)
+
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString
     val withPii = corpus.withColumn("text",
