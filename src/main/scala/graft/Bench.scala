@@ -71,7 +71,8 @@ object Bench {
     // self-record the full JSON to a file as well: stdout capture has
     // been truncated mid-line by harness tails before, and ambient
     // contention spikes are easier to adjudicate against an in-repo
-    // artifact written by the run itself
+    // artifact written by the run itself (bench_last.json is
+    // gitignored — the committed artifacts are the named BENCH_* files)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] self-record failed: $e") }

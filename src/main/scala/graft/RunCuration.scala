@@ -3,28 +3,36 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.graph.Materialize
 import graft.pipeline.Curation
-import graft.pipeline.Curation.NearDupStage
+import graft.pipeline.Curation.{NearDupStage, SpanAction}
 
 /** The spark-submit entry of the training-corpus curation recipe:
   * corpus + held-out eval slice -> curated corpus parquet, plus the
   * audit tables a data owner wants next to the mix (the contamination
-  * report, and the per-doc span profile when the boilerplate stage is
-  * on).
+  * report, the per-doc span profile when the boilerplate stage is on,
+  * the near-dup pair/cluster tables when that stage is on, and the
+  * pre/post PII counts when redaction is on).
   *
   *   spark-submit --class graft.RunCuration <jar> \
   *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
   *     [--min-tokens N] [--quality-floor F] \
-  *     [--neardup exact:<t> | lsh:<t>] [--max-dup-fraction F] \
-  *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \\
-  *     [--rates en=0.5,zh=0.25] [--default-rate F] [--redact]
+  *     [--neardup exact:<t>[:<shingleN>] | lsh:<t>[:<shingleN>[:<bands>:<rows>]]] \
+  *     [--max-dup-fraction F] [--span-action drop|cut] \
+  *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
+  *     [--rates en=0.5,zh=0.25] [--default-rate F] [--redact] \
+  *     [--buckets N] [--fresh]
   *
   * Input contract: corpus table with (doc_id long, text string,
   * <strata> string, ...); eval table with (text string). Column names
   * override via --id-col/--text-col/--strata-col/--eval-text-col.
   * The curated corpus is written partitioned by the strata column
-  * (the mix consumer reads one stratum at a time); the decontam
-  * report is the narrow (id, n_shared_grams) audit table.
+  * (the mix consumer reads one stratum at a time) THROUGH the
+  * bucket-ledger resumable sink ([[Materialize.writeBucketedResumable]]):
+  * a killed run re-invoked with the same arguments skips its completed
+  * buckets and finishes the rest — at the 100-TB point that is the
+  * difference between resuming and restarting. Resume assumes the SAME
+  * input and flags; pass --fresh to clear a stale output dir first.
   */
 object RunCuration {
 
@@ -40,12 +48,15 @@ object RunCuration {
       qualityFloor: Option[Double] = None,
       nearDup: NearDupStage = NearDupStage.Off,
       maxDupFraction: Option[Double] = None,
+      spanAction: SpanAction = SpanAction.DropDocs,
       shingleN: Int = 13,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      redact: Boolean = false
+      redact: Boolean = false,
+      buckets: Int = 32,
+      fresh: Boolean = false
   )
 
   private def numD(flag: String, v: String): Double =
@@ -58,13 +69,32 @@ object RunCuration {
     catch { case _: NumberFormatException =>
       throw new IllegalArgumentException(s"$flag expects an integer, got '$v'") }
 
-  def parseNearDup(v: String): NearDupStage = v.split(":", 2) match {
+  /** `exact:<t>[:<shingleN>]` or `lsh:<t>[:<shingleN>[:<bands>:<rows>]]`
+    * — the banding geometry is the knob that trades LSH recall for
+    * cost, so it belongs on the CLI, not buried in a default.
+    */
+  def parseNearDup(v: String): NearDupStage = v.split(":") match {
     case Array("off") => NearDupStage.Off
     case Array("exact", t) => NearDupStage.ExactJaccard(numD("--neardup exact", t))
+    case Array("exact", t, n) =>
+      NearDupStage.ExactJaccard(numD("--neardup exact", t), numI("--neardup exact shingleN", n))
     case Array("lsh", t) => NearDupStage.MinHashLsh(numD("--neardup lsh", t))
+    case Array("lsh", t, n) =>
+      NearDupStage.MinHashLsh(numD("--neardup lsh", t), numI("--neardup lsh shingleN", n))
+    case Array("lsh", t, n, bands, rows) =>
+      NearDupStage.MinHashLsh(
+        numD("--neardup lsh", t), numI("--neardup lsh shingleN", n),
+        numI("--neardup lsh bands", bands), numI("--neardup lsh rows", rows))
     case _ =>
       throw new IllegalArgumentException(
-        s"--neardup expects off | exact:<threshold> | lsh:<threshold>, got '$v'")
+        "--neardup expects off | exact:<t>[:<shingleN>] | lsh:<t>[:<shingleN>[:<bands>:<rows>]], " +
+          s"got '$v'")
+  }
+
+  def parseSpanAction(v: String): SpanAction = v match {
+    case "drop" => SpanAction.DropDocs
+    case "cut" => SpanAction.CutSpans
+    case _ => throw new IllegalArgumentException(s"--span-action expects drop | cut, got '$v'")
   }
 
   def parseRates(v: String): Map[String, Double] =
@@ -89,6 +119,7 @@ object RunCuration {
     case "--neardup" :: v :: rest => parse(rest, acc.copy(nearDup = parseNearDup(v)))
     case "--max-dup-fraction" :: v :: rest =>
       parse(rest, acc.copy(maxDupFraction = Some(numD("--max-dup-fraction", v))))
+    case "--span-action" :: v :: rest => parse(rest, acc.copy(spanAction = parseSpanAction(v)))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
@@ -98,30 +129,59 @@ object RunCuration {
     case "--default-rate" :: v :: rest =>
       parse(rest, acc.copy(defaultRate = numD("--default-rate", v)))
     case "--redact" :: rest => parse(rest, acc.copy(redact = true))
+    case "--buckets" :: v :: rest => parse(rest, acc.copy(buckets = numI("--buckets", v)))
+    case "--fresh" :: rest => parse(rest, acc.copy(fresh = true))
     case Nil => acc
     case other => throw new IllegalArgumentException(s"unknown args: $other")
   }
 
-  /** Composable core (spec-tested): curate, write the partitioned
-    * corpus + the decontam audit report (+ span profile when the
-    * boilerplate stage is on), return (input, curated) counts.
+  /** Per-type PII totals over a corpus (one aggregation; null sums of
+    * an empty corpus fold to 0).
+    */
+  private def piiTotals(df: DataFrame, textCol: String): Seq[(String, Long)] = {
+    val aggs = graft.text.Redact.piiCounts(col(textCol)).map { case (n, c) =>
+      sum(c).cast("long").as(n)
+    }
+    val row = df.select(aggs: _*).head()
+    row.schema.fieldNames.toSeq.zipWithIndex.map { case (n, i) =>
+      n -> (if (row.isNullAt(i)) 0L else row.getLong(i))
+    }
+  }
+
+  /** Composable core (spec-tested): curate, write the curated corpus
+    * through the resumable bucket-ledger sink, write the audit tables
+    * (decontam report always; span profile when the boilerplate stage
+    * is on; near-dup pairs + transitive clusters when that stage is
+    * on; pre/post PII counts when --redact), return (input, curated)
+    * counts.
     */
   def run(spark: SparkSession, docs: DataFrame, eval: DataFrame, a: Args): (Long, Long) = {
+    import spark.implicits._
+    if (a.fresh) {
+      val p = new org.apache.hadoop.fs.Path(a.out)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val staged = Curation.curateStaged(
       spark, docs, eval,
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
-      a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf)
-    // three writes consume the staged plans; without pinning, EACH
-    // action would replay the dedup + near-dup pair join (the dominant
-    // cost) from scratch. Persist the post-near-dup corpus (the shared
-    // expensive prefix) and the two small audit tables; at the
-    // 100-TB point the equivalent is one staging parquet of
-    // afterNearDup that all three writes scan.
+      a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf,
+      a.spanAction)
+    // several writes + count/audit aggregations consume the staged
+    // plans; without pinning, EACH action would replay the dedup +
+    // near-dup pair join (the dominant cost) from scratch. Persist the
+    // shared expensive prefixes (the pair table FIRST so the corpus
+    // chain's survivor anti-join reuses it) and the small audit
+    // tables; at the 100-TB point the equivalent is one staging
+    // parquet of afterNearDup that all consumers scan.
     import org.apache.spark.storage.StorageLevel
-    val pinned = staged.afterNearDup.persist(StorageLevel.MEMORY_AND_DISK) ::
-      staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
-      staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList
+    val pinned =
+      staged.nearDupPairs.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+        staged.afterNearDup.persist(StorageLevel.MEMORY_AND_DISK) ::
+        staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
+        staged.spanReport.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+        staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList
     try {
       // PII scrubbing runs LAST, on the shipped mix only (earlier
       // stages must see the original text so dedup/decontam semantics
@@ -129,16 +189,39 @@ object RunCuration {
       val shipped =
         if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
         else staged.sampled
-      shipped.write.mode("overwrite").partitionBy(a.strataCol).parquet(s"${a.out}/corpus")
+      val bucketsWritten = Materialize.writeBucketedResumable(
+        spark, shipped, s"${a.out}/corpus", a.idCol, a.buckets, Seq(a.strataCol))
 
       // audit tables are the EXACT (persisted) plans the stages
       // thresholded — the report the anti-join consumed, the span
-      // profile the cap read; an audit computed over a different
-      // corpus could contradict the drop decisions it explains
+      // profile the cap read, the pair table the survivor policy
+      // scanned; an audit computed over a different corpus could
+      // contradict the drop decisions it explains
       staged.contaminationReport
         .write.mode("overwrite").parquet(s"${a.out}/decontam_report")
       staged.spanProfile.foreach(
         _.write.mode("overwrite").parquet(s"${a.out}/span_stats"))
+      staged.nearDupPairs.foreach { pairs =>
+        pairs.write.mode("overwrite").parquet(s"${a.out}/neardup_pairs")
+        // transitive clusters of the same pair graph (the audit view a
+        // reviewer groups removals by), over the post-dedup corpus
+        graft.dedup.Dedup
+          .nearDupClusters(spark, staged.deduped.select(col(a.idCol)), pairs, a.idCol)
+          .write.mode("overwrite").parquet(s"${a.out}/neardup_clusters")
+      }
+      if (a.redact) {
+        // pre/post scrub counts per PII type over the SHIPPED mix —
+        // the table a data owner checks to see what redaction did
+        // (post-counts are re-scans of the redacted text: residuals
+        // mean a pattern gap, not a failed replace)
+        val pre = piiTotals(staged.sampled, a.textCol)
+        val post = piiTotals(shipped, a.textCol)
+        pre.zip(post).map { case ((n, p), (_, q)) => (n, p, q) }
+          .toDF("pii_type", "n_pre", "n_post")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"${a.out}/pii_counts")
+      }
+      System.err.println(s"[curation] wrote $bucketsWritten/${a.buckets} pending buckets")
     } finally pinned.foreach(_.unpersist())
 
     val in = docs.count()

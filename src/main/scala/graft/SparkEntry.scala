@@ -192,7 +192,7 @@ object SparkEntry {
     * q_jaccard_pairs / q_neardup_survivors / q_curate_neardup oracle
     * SQL.
     */
-  private def docsWithClipsLang(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithClipsLang(s: SparkSession, dir: String): DataFrame = {
     val d = read(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
     val clipped = d
       .where(col("doc_id") % 4 === 0)
@@ -538,6 +538,15 @@ object SparkEntry {
         s, read(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", 6, 2)),
 
+    // ---- span SURGERY (cut, don't drop — Lee et al. ExactSubstr's
+    //      action): duplicated spans excised, docs kept; span-free
+    //      docs pass through byte-identical, rebuilt docs re-join
+    //      their surviving tokens with single spaces
+    "q_span_removed" -> ((s, dir) =>
+      SpanDedup.removeSpans(
+        s, read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", 6, 2)),
+
     // ---- dedup: MinHash-LSH near-dup pairs (rows-only; spec-verified
     //      against the exact-Jaccard oracle in DedupSpec)
     "q_dedup_minhash" -> ((s, dir) =>
@@ -575,6 +584,57 @@ object SparkEntry {
       Dedup
         .nearDupSurvivorsByQuality(s, docs, jaccardPairTable(s, dir), "doc_id", "quality")
         .select(col("doc_id"))
+    }),
+
+    // ---- dedup: cluster-chaining control — maxClusterSize splits
+    //      every transitive component into deterministic sub-clusters
+    //      of at most 8 members (contiguous id-ranked runs, min-id
+    //      label; the two-phase chunked rank, forced through many
+    //      chunks by rankChunkSize=64). The pair graph chains each
+    //      source's docs in id order, so components are mega-chains —
+    //      exactly the shape the cap exists for.
+    "q_neardup_capped" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = read(s, dir, "documents").select(col("doc_id"), col("source"))
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pairs = docs
+        .withColumn("_nxt", lead(col("doc_id"), 1).over(w))
+        .where(col("_nxt").isNotNull)
+        .select(col("doc_id").as("id_a"), col("_nxt").as("id_b"))
+      Dedup.nearDupClusters(s, docs.select(col("doc_id")), pairs, "doc_id",
+        maxClusterSize = Some(8), rankChunkSize = 64)
+    }),
+
+    // ---- curation: the LSH scale path pinned at the oracle gate.
+    //      On q_curate_neardup's corpus (clips, holdout removed, post
+    //      exact dedup), the MinHash-LSH stage's survivor set vs the
+    //      recall-complete exact-Jaccard stage's at the SHIPPED config
+    //      (t=0.6, 3-gram shingles, 16 bands x 4 rows — the
+    //      NearDupStage.MinHashLsh defaults): containment must hold by
+    //      construction (LSH pairs ⊆ exact pairs — exact re-scoring),
+    //      and the removal recall must clear the measured floor
+    //      (LshGuardProbe: 1.0 at sf0.01, 0.99917 at sf0.1 — floor
+    //      0.95) with the stage non-vacuous.
+    "q_curate_lsh_guard" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = docsWithClipsLang(s, dir).where(col("doc_id") % 20 =!= 0)
+      val deduped = Dedup.normalizedExact(corpus, "doc_id", "text")
+      val exactSurv = Dedup.nearDupSurvivorsFromPairs(
+        deduped, Dedup.jaccardPairsExact(s, deduped, "doc_id", "text", 3, 0.6), "doc_id")
+        .select(col("doc_id"))
+      val lshSurv = Dedup.nearDupSurvivorsFromPairs(
+        deduped, Dedup.minhashNearDupPairs(s, deduped, "doc_id", "text", 3, 0.6, 16, 4), "doc_id")
+        .select(col("doc_id"))
+      val nTotal = deduped.count()
+      val nExact = exactSurv.count()
+      val nLsh = lshSurv.count()
+      val nViol = exactSurv.join(lshSurv, Seq("doc_id"), "left_anti").count()
+      val removedExact = nTotal - nExact
+      val recall = if (removedExact == 0) 1.0 else (nTotal - nLsh).toDouble / removedExact
+      Seq(
+        ("lsh_survivors_contain_exact", nViol == 0L),
+        ("lsh_removal_recall_ge_floor", removedExact > 0 && recall >= 0.95)
+      ).toDF("check_name", "ok")
     }),
 
     // ---- dedup: MinHash precision guard — LSH output anti-joined
@@ -1545,6 +1605,47 @@ object SparkEntry {
            |  round(p.dup_tokens / (CASE WHEN len(trim(d.text)) = 0 THEN 0
            |       ELSE len(string_split_regex(trim(d.text), '\\s+')) END), 6) AS dup_fraction
            |FROM documents d JOIN per_doc p USING (doc_id)""".stripMargin,
+      // span surgery replayed from the same span CTEs: docs with spans
+      // are rebuilt from their ORIGINAL-case whitespace tokens minus
+      // the covered positions (string_agg ordered by position, empty
+      // string when everything is covered); span-free docs pass
+      // through byte-identical
+      "q_span_removed" ->
+        s"""$spanCtes,
+           |spans AS (
+           |  SELECT doc_id, min(pos) AS s, max(pos) + 5 AS e FROM isl GROUP BY doc_id, isl),
+           |tk0 AS (
+           |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS tk
+           |  FROM documents),
+           |tokp AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(tk))) - 1 AS pos,
+           |    unnest(tk) AS w
+           |  FROM tk0),
+           |kept AS (
+           |  SELECT t.doc_id, t.pos, t.w FROM tokp t
+           |  WHERE NOT EXISTS (
+           |    SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+           |rebuilt AS (
+           |  SELECT sd.doc_id, coalesce(k.txt, '') AS text
+           |  FROM (SELECT DISTINCT doc_id FROM spans) sd
+           |  LEFT JOIN (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS txt
+           |             FROM kept GROUP BY doc_id) k USING (doc_id))
+           |SELECT d.doc_id, coalesce(r.text, d.text) AS text
+           |FROM documents d LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+      // capped clusters over the per-source id-order chain graph:
+      // components are whole sources, so the label is the (rank-1)//8
+      // run-leader within the source's id order
+      "q_neardup_capped" ->
+        """WITH rn AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          |  FROM documents)
+          |SELECT doc_id,
+          |  min(doc_id) OVER (PARTITION BY source, (rn - 1) // 8) AS cluster_id
+          |FROM rn""".stripMargin,
+      "q_curate_lsh_guard" ->
+        """SELECT 'lsh_survivors_contain_exact' AS check_name, true AS ok
+          |UNION ALL SELECT 'lsh_removal_recall_ge_floor', true""".stripMargin,
       // the whole curation chain replayed stage-for-stage: the dedup
       // window, the gram flagging, the token floor, and the
       // golden-ratio sample are the SAME SQL fragments the standalone

@@ -285,44 +285,152 @@ object Dedup {
     * large-star/small-star CC (driver-local union-find under the
     * usual threshold); the dedup-cluster view is the same algorithm
     * the canonicalization stage already ships.
+    *
+    * Chaining control (`maxClusterSize`): transitive closure CHAINS —
+    * on a boilerplate-heavy corpus, docs that are pairwise similar
+    * only to their neighbors merge into one giant component whose far
+    * ends share nothing (the same order-dependent-accept concern the
+    * reference's greedy overlap dedup handles at
+    * /root/reference/src/OverlappingSegmentsUtils.jl:229-240). With a
+    * cap, each component is split into deterministic sub-clusters of
+    * at most `maxClusterSize` members (contiguous runs of the
+    * component's id-ranked members; each sub-cluster relabeled by its
+    * min id, so the first sub-cluster keeps the component's label).
+    * The rank is computed with the two-phase chunked scan (bounded
+    * tasks — no per-component window), see [[splitClusters]].
     */
   def nearDupClusters(
       spark: SparkSession,
       df: DataFrame,
       pairs: DataFrame, // (id_a, id_b), id_a < id_b
-      idCol: String
+      idCol: String,
+      maxClusterSize: Option[Int] = None,
+      rankChunkSize: Int = 1 << 20
   ): DataFrame = {
+    require(idCol != "cluster_id", "idCol must not be named cluster_id (the output label column)")
+    val cId = graft.util.Cols.fresh(Set(idCol, "cluster_id"), "_cc_id")
+    val cComp = graft.util.Cols.fresh(Set(idCol, "cluster_id", cId), "_cc_comp")
     val cc = graft.canon.ConnectedComponents
       .run(spark, pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      .withColumnRenamed("id", "_cc_id")
-    df.select(col(idCol).cast("long").as(idCol))
-      .join(cc, col(idCol) === col("_cc_id"), "left")
-      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .select(col("id").as(cId), col("component").as(cComp))
+    val base = df.select(col(idCol).cast("long").as(idCol))
+      .join(cc, col(idCol) === col(cId), "left")
+      .select(col(idCol), coalesce(col(cComp), col(idCol)).as("cluster_id"))
+    maxClusterSize.fold(base) { cap =>
+      require(cap >= 1, s"maxClusterSize must be >= 1, got $cap")
+      splitClusters(base, idCol, cap, rankChunkSize)
+    }
+  }
+
+  /** Split every cluster into sub-clusters of at most `cap` members:
+    * members ranked by id within their cluster, sub-cluster =
+    * floor((rank-1)/cap), relabeled by the sub-cluster's min id.
+    *
+    * Scale shape: the exact per-cluster rank uses the two-phase
+    * chunked scan ([[graft.sampling.Sampling.tokenBudgetCap]]'s
+    * pattern) instead of one row_number window per cluster — phase 1
+    * ranks within (cluster, floor(id/chunkSize)), whose tasks are
+    * bounded by chunkSize because ids are unique; phase 2 adds each
+    * chunk's exclusive member-count offset via a running sum over the
+    * narrow per-chunk totals (worst case one 3-column row per member
+    * when a giant cluster's ids are maximally sparse — narrow-row
+    * skew, not document-row skew). The sub-bucket labels are then one
+    * hash aggregation + a narrow join back.
+    */
+  private def splitClusters(
+      clusters: DataFrame, // (idCol, cluster_id)
+      idCol: String,
+      cap: Int,
+      chunkSize: Int
+  ): DataFrame = {
+    import graft.util.Cols.{floorDivLong, fresh}
+    var names = clusters.columns.toSet
+    def f(base: String): String = { val n = fresh(names, base); names += n; n }
+    val cChunk = f("_ncc_chunk")
+    val cWithin = f("_ncc_within")
+    val cCl2 = f("_ncc_cl2")
+    val cChunk2 = f("_ncc_chunk2")
+    val cOffset = f("_ncc_offset")
+    val cSub = f("_ncc_sub")
+    val cCl3 = f("_ncc_cl3")
+    val cSub3 = f("_ncc_sub3")
+    val cLabel = f("_ncc_label")
+
+    val chunked = clusters.withColumn(cChunk, floorDivLong(col(idCol), chunkSize))
+    val wIn = Window.partitionBy(col("cluster_id"), col(cChunk)).orderBy(col(idCol).asc)
+    val within = chunked.withColumn(cWithin, row_number().over(wIn))
+    val totals = chunked
+      .groupBy(col("cluster_id").as(cCl2), col(cChunk).as(cChunk2))
+      .agg(count(lit(1)).as(cOffset))
+    val wOff = Window
+      .partitionBy(col(cCl2))
+      .orderBy(col(cChunk2))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn(cOffset, coalesce(sum(col(cOffset)).over(wOff), lit(0L)))
+      .select(col(cCl2), col(cChunk2), col(cOffset))
+    val ranked = within
+      .join(offsets, col("cluster_id") <=> col(cCl2) && col(cChunk) <=> col(cChunk2))
+      .withColumn(cSub, floorDivLong(col(cWithin) + col(cOffset) - 1, cap))
+    val labels = ranked
+      .groupBy(col("cluster_id").as(cCl3), col(cSub).as(cSub3))
+      .agg(min(col(idCol)).as(cLabel))
+    ranked
+      .join(labels, col("cluster_id") <=> col(cCl3) && col(cSub) <=> col(cSub3))
+      .select(col(idCol), col(cLabel).as("cluster_id"))
   }
 
   /** Quality-aware survivor policy: per near-dup CLUSTER keep the
-    * highest-quality document (tie: min id) — the policy a production
-    * pipeline actually wants (the pairwise smaller-id-wins form keeps
-    * the OLDEST copy; this keeps the BEST). Clusters are transitive
-    * (see [[nearDupClusters]]); the per-cluster argmax is a window
-    * over cluster_id — dup clusters are small by construction, so the
-    * window tasks are bounded.
+    * highest-quality document (tie: min id; a null quality ranks below
+    * every non-null one) — the policy a production pipeline actually
+    * wants (the pairwise smaller-id-wins form keeps the OLDEST copy;
+    * this keeps the BEST).
+    *
+    * Scale shape: clusters are transitive ([[nearDupClusters]]) and
+    * transitive closure CHAINS — a template-spam family can merge a
+    * large fraction of the corpus into ONE component, so the obvious
+    * `row_number() OVER (PARTITION BY cluster_id)` after joining the
+    * full document rows would (a) ship every document's text through
+    * the cluster exchange and (b) land a whole mega-cluster in one
+    * task. Instead the argmax is computed NARROWLY: only (id, quality)
+    * ride the cluster exchange, the per-cluster winner is one hash
+    * aggregation (`min_by` with map-side partial aggregation — no
+    * single task ever holds a cluster), and the full rows are restored
+    * by a left-semi join on the id. Same answer, no text movement, no
+    * mega-partition straggler. `maxClusterSize` passes through to the
+    * clustering stage.
+    *
+    * Contract: `idCol` is a unique non-null row id (the library-wide
+    * key contract, see [[exact]]).
     */
   def nearDupSurvivorsByQuality(
       spark: SparkSession,
       df: DataFrame, // carries idCol + qualityCol
       pairs: DataFrame,
       idCol: String,
-      qualityCol: String
+      qualityCol: String,
+      maxClusterSize: Option[Int] = None
   ): DataFrame = {
-    val clusters = nearDupClusters(spark, df.select(col(idCol)), pairs, idCol)
-    val w = Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col(qualityCol).desc, col(idCol).asc)
-    df.join(clusters, Seq(idCol))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .drop("_rn", "cluster_id")
+    import graft.util.Cols.fresh
+    val names = df.columns.toSet
+    val cId = fresh(names, "_ndq_id")
+    val cWin = fresh(names + cId, "_ndq_win")
+    val narrow = df.select(col(idCol).cast("long").as(cId), col(qualityCol))
+    val clusters = nearDupClusters(spark, narrow.select(col(cId)), pairs, cId, maxClusterSize)
+    // ascending-min rank = (quality DESC NULLS LAST, id ASC): a null
+    // flag first so null quality loses to any non-null, then the
+    // negated quality, then the unique id — total order, so min_by is
+    // deterministic
+    val rank = struct(
+      when(col(qualityCol).isNull, lit(1)).otherwise(lit(0)).as("nullq"),
+      coalesce(-col(qualityCol), lit(0.0)).as("negq"),
+      col(cId).as("id"))
+    val winners = narrow
+      .join(clusters, Seq(cId))
+      .groupBy(col("cluster_id"))
+      .agg(min_by(col(cId), rank).as(cWin))
+      .select(col(cWin))
+    df.join(winners, col(idCol).cast("long") === col(cWin), "left_semi")
   }
 
   /** Brute-force n-gram Jaccard pairs (the small-scale oracle for the

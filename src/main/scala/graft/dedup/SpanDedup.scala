@@ -124,8 +124,20 @@ object SpanDedup {
       textCol: String,
       shingleN: Int = 6,
       minDf: Int = 2
+  ): DataFrame =
+    spanStatsFromReport(df, duplicateSpans(spark, df, idCol, textCol, shingleN, minDf), idCol, textCol)
+
+  /** [[spanStats]] from an already-computed span report — callers that
+    * consume the report twice (profile + surgery) compute the gram
+    * aggregation once.
+    */
+  def spanStatsFromReport(
+      df: DataFrame,
+      spanReport: DataFrame, // duplicateSpans output for the SAME (shingleN, minDf)
+      idCol: String,
+      textCol: String
   ): DataFrame = {
-    val spans = duplicateSpans(spark, df, idCol, textCol, shingleN, minDf)
+    val spans = spanReport
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_spans"),
@@ -141,6 +153,66 @@ object SpanDedup {
         col("dup_tokens"),
         col("total_tokens"),
         round(col("dup_tokens") / col("total_tokens"), 6).as("dup_fraction"))
+  }
+
+  /** Span SURGERY — cut, don't drop (the action of Lee et al.'s
+    * ExactSubstr dedup, ACL'22 §4.1: *remove the duplicated substring,
+    * keep the document*): rebuild each flagged document's text with its
+    * duplicated spans excised. Documents with no duplicated span pass
+    * through byte-identical; a rebuilt document's surviving tokens are
+    * re-joined with single spaces (the span positions are token
+    * indices, so the original inter-token whitespace inside a rebuilt
+    * document is not recoverable — documented normalization, the same
+    * convention as [[graft.text.TextOps.normalized]]); a document
+    * whose every token is covered becomes the empty string.
+    *
+    * Plan: the narrow span report aggregates to one row per flagged
+    * document (id, array of [start,end]); the corpus left-joins it on
+    * the id key (one exchange of the text — inherent to a rewrite) and
+    * the excision is a pure higher-order-function expression
+    * (positional `filter` + `exists` over the span array — no UDF).
+    * Token positions are the whitespace-split indices of
+    * [[positionalGrams]]; lowercasing never moves whitespace, so the
+    * original-case tokens align with the report's positions.
+    */
+  def removeSpans(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 6,
+      minDf: Int = 2,
+      maxDf: Option[Long] = None
+  ): DataFrame =
+    removeSpansFromReport(
+      df, duplicateSpans(spark, df, idCol, textCol, shingleN, minDf, maxDf), idCol, textCol)
+
+  /** [[removeSpans]] from an already-computed span report. */
+  def removeSpansFromReport(
+      df: DataFrame,
+      spanReport: DataFrame, // duplicateSpans output for the SAME (shingleN, minDf)
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    import graft.util.Cols.fresh
+    val names = df.columns.toSet
+    val cId = fresh(names, "_sdc_id")
+    val cSpans = fresh(names + cId, "_sdc_spans")
+    val spans = spanReport
+      .groupBy(col(idCol).as(cId))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as(cSpans))
+    val toks = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val kept = filter(
+      toks,
+      (t, i) =>
+        !exists(
+          col(cSpans),
+          s => i.cast("long") >= s.getField("span_start") && i.cast("long") <= s.getField("span_end")))
+    df.join(spans, col(idCol).cast("long") === col(cId), "left")
+      .withColumn(
+        textCol,
+        when(col(cSpans).isNull, col(textCol)).otherwise(array_join(kept, " ")))
+      .drop(cId, cSpans)
   }
 
   /** THE dup-gram selection (one definition for the batch report and

@@ -180,6 +180,67 @@ object Materialize {
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
     vertices.write.mode(SaveMode.Overwrite).parquet(s"$outDir/vertices")
 
+  /** Generic resumable bucketed table write — [[writeEdges]]'s ledger
+    * pattern (SO4) for ANY table keyed by a hashable column; the
+    * curated-corpus sink uses it so a killed 100-TB curation resumes
+    * at bucket granularity instead of restarting. Rows bucket on
+    * xxhash64(keyCol) mod numBuckets; completed buckets are recorded
+    * in the append-only `_lineage` sidecar and anti-joined away on
+    * re-run; dynamic partition overwrite redoes a crashed bucket
+    * cleanly (a bucket whose data landed but whose ledger row didn't
+    * is rewritten with identical content — idempotent). `partitionCols`
+    * (e.g. a strata column) lay out ABOVE the bucket layer, so
+    * stratum readers still prune. The bucket modulus is pinned in
+    * `_table_meta.json` exactly like the edge sink.
+    *
+    * Resume contract: a re-run must present the SAME input and config
+    * (the ledger keys on bucket id only); to rebuild from different
+    * inputs, write to a fresh dir (or clear it first).
+    *
+    * @return number of buckets written this invocation
+    */
+  def writeBucketedResumable(
+      spark: SparkSession,
+      df: DataFrame,
+      dir: String,
+      keyCol: String,
+      numBuckets: Int = 32,
+      partitionCols: Seq[String] = Nil
+  ): Long = {
+    require(!df.columns.contains(BucketCol),
+      s"df already carries a $BucketCol column — rename it before the resumable write")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tableNumBuckets(spark, dir).foreach(n =>
+      require(n == numBuckets, s"table at $dir was written with num_buckets=$n, got $numBuckets"))
+    writeTableMeta(fs, dir, numBuckets, LayoutBucketed)
+
+    val bucketed =
+      df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
+    val done = completedBuckets(spark, dir)
+    // persisted for the duration: consumed by the data write AND the
+    // lineage counters, and its upstream may be a whole curation chain
+    val pending = bucketed
+      .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      pending
+        .repartition(numBuckets, col(BucketCol))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy((partitionCols :+ BucketCol): _*)
+        .parquet(dir)
+      val counters = pending
+        .groupBy(col(BucketCol).as("bucket"))
+        .agg(count(lit(1)).as("rows"), countDistinct(col(keyCol)).as("keys"))
+        .withColumn("written_at", current_timestamp())
+      val n = counters.count()
+      if (n > 0) counters.write.mode(SaveMode.Append).parquet(lineagePath(dir))
+      n
+    } finally pending.unpersist()
+  }
+
   /** Streaming-sink append with per-BATCH idempotence — the foreachBatch
     * counterpart of [[writeEdges]]. The batch ledger (`_batches`) keys
     * on batch_id: a replayed micro-batch (restart from checkpoint

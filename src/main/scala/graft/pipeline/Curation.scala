@@ -18,11 +18,14 @@ import graft.text.TextOps
   *      dedup THEN near-dup before decontamination: a similarity pair
   *      join — exact prefix-filtered Jaccard or MinHash-LSH — feeding
   *      the pairwise smaller-id-wins survivor policy),
-  *   3. optional BOILERPLATE removal: drop documents whose
+  *   3. optional BOILERPLATE handling: drop documents whose
   *      [[SpanDedup.spanStats]] duplicated-token fraction exceeds a
-  *      cap — the passage-level signal whole-document near-dup cannot
-  *      see (a doc that is 80% shared boilerplate survives stages 1-2
-  *      whenever its unique 20% keeps pairwise Jaccard low),
+  *      cap, and/or CUT the duplicated spans out of the survivors
+  *      ([[SpanAction.CutSpans]] — keep the doc, excise the
+  *      boilerplate) — the passage-level signal whole-document
+  *      near-dup cannot see (a doc that is 80% shared boilerplate
+  *      survives stages 1-2 whenever its unique 20% keeps pairwise
+  *      Jaccard low),
   *   4. benchmark decontamination (broadcast eval grams; corpus text
   *      never shuffles),
   *   5. quality floor (pure column predicates — a token-count minimum
@@ -68,15 +71,40 @@ object Curation {
     ) extends NearDupStage
   }
 
+  /** Boilerplate-stage action on the [[SpanDedup]] signal. */
+  sealed trait SpanAction
+  object SpanAction {
+
+    /** Drop whole documents whose duplicated-token fraction exceeds
+      * `maxDupFraction` (the conservative policy: a mostly-boilerplate
+      * document is not worth keeping).
+      */
+    case object DropDocs extends SpanAction
+
+    /** Span SURGERY ([[SpanDedup.removeSpans]] — Lee et al.'s
+      * ExactSubstr action): excise the duplicated spans and KEEP the
+      * documents. When `maxDupFraction` is also set, documents over
+      * the cap still drop (they are boilerplate wholesale) and the
+      * survivors get their spans cut; both decisions read the same
+      * span report, measured once on the post-near-dup corpus.
+      * Downstream stages (decontam, quality, sampling) see the CUT
+      * text — the pipeline order a real curation run wants (remove
+      * boilerplate, then decontaminate what remains).
+      */
+    case object CutSpans extends SpanAction
+  }
+
   /** The chain with its stage plans exposed (all lazy DataFrames —
     * nothing is computed until a consumer acts): lets a driver write
-    * the SAME contamination report / span profile the pipeline
-    * thresholded, instead of recomputing an audit over a different
-    * corpus that may contradict the stage decisions.
+    * the SAME contamination report / span profile / near-dup pair
+    * table the pipeline thresholded, instead of recomputing an audit
+    * over a different corpus that may contradict the stage decisions.
     */
   final case class Staged(
       deduped: DataFrame,
+      nearDupPairs: Option[DataFrame], // what the survivor policy consumed
       afterNearDup: DataFrame,
+      spanReport: Option[DataFrame], // the spans both span decisions read
       spanProfile: Option[DataFrame], // what the boilerplate cap thresholded
       afterSpans: DataFrame,
       contaminationReport: DataFrame, // what the anti-join removed
@@ -101,27 +129,40 @@ object Curation {
       qualityFloor: Option[Double] = None,
       maxDupFraction: Option[Double] = None,
       spanShingleN: Int = 6,
-      spanMinDf: Int = 2
+      spanMinDf: Int = 2,
+      spanAction: SpanAction = SpanAction.DropDocs
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
-    val afterNearDup = nearDup match {
-      case NearDupStage.Off => deduped
+    val nearDupPairs = nearDup match {
+      case NearDupStage.Off => None
       case NearDupStage.ExactJaccard(t, n) =>
-        Dedup.nearDupSurvivorsFromPairs(
-          deduped, Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t), idCol)
+        Some(Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t))
       case NearDupStage.MinHashLsh(t, n, bands, rows) =>
-        Dedup.nearDupSurvivorsFromPairs(
-          deduped, Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows),
-          idCol)
+        Some(Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows))
     }
-    val spanProfile = maxDupFraction.map { _ =>
-      SpanDedup.spanStats(spark, afterNearDup, idCol, textCol, spanShingleN, spanMinDf)
-    }
-    val afterSpans = maxDupFraction.zip(spanProfile).foldLeft(afterNearDup) {
+    val afterNearDup = nearDupPairs.fold(deduped)(
+      Dedup.nearDupSurvivorsFromPairs(deduped, _, idCol))
+    // the boilerplate stage is on when a drop cap is set OR the action
+    // is surgery; both decisions read ONE span report measured on the
+    // post-near-dup corpus
+    val spanStageOn = maxDupFraction.isDefined || spanAction == SpanAction.CutSpans
+    val spanReport =
+      if (spanStageOn)
+        Some(SpanDedup.duplicateSpans(spark, afterNearDup, idCol, textCol, spanShingleN, spanMinDf))
+      else None
+    val spanProfile = spanReport.map(
+      SpanDedup.spanStatsFromReport(afterNearDup, _, idCol, textCol))
+    val afterDrop = maxDupFraction.zip(spanProfile).foldLeft(afterNearDup) {
       case (df, (cap, profile)) =>
         df.join(
           profile.where(col("dup_fraction") > cap).select(col(idCol)),
           Seq(idCol), "left_anti")
+    }
+    val afterSpans = spanAction match {
+      case SpanAction.DropDocs => afterDrop
+      case SpanAction.CutSpans =>
+        spanReport.fold(afterDrop)(
+          SpanDedup.removeSpansFromReport(afterDrop, _, idCol, textCol))
     }
     // decontaminate = report + anti-join (same as Decontam.decontaminate,
     // opened up so the report the pipeline used IS the audit artifact)
@@ -132,7 +173,8 @@ object Curation {
       cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
     ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
-    Staged(deduped, afterNearDup, spanProfile, afterSpans, report, cleaned, qualified, sampled)
+    Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
+      cleaned, qualified, sampled)
   }
 
   def curate(
@@ -151,9 +193,10 @@ object Curation {
       qualityFloor: Option[Double] = None,
       maxDupFraction: Option[Double] = None,
       spanShingleN: Int = 6,
-      spanMinDf: Int = 2
+      spanMinDf: Int = 2,
+      spanAction: SpanAction = SpanAction.DropDocs
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
-      maxDupFraction, spanShingleN, spanMinDf).sampled
+      maxDupFraction, spanShingleN, spanMinDf, spanAction).sampled
 }

@@ -65,15 +65,10 @@ object Sampling {
     df.where(idUniform(col(idCol)) < rate)
   }
 
-  /** A temp-column name guaranteed absent from `existing` (a caller's
-    * `_running` column must survive the operator untouched).
-    */
-  private def fresh(existing: Set[String], base: String): String = {
-    var name = base
-    var i = 0
-    while (existing.contains(name)) { i += 1; name = s"${base}_$i" }
-    name
-  }
+  // a temp-column name guaranteed absent from the caller's columns (a
+  // caller's `_running` column must survive the operator untouched)
+  private def fresh(existing: Set[String], base: String): String =
+    graft.util.Cols.fresh(existing, base)
 
   /** Per-group token-budget cap: keep rows in deterministic
     * (orderCols) order while the running token total (INCLUDING the
@@ -118,8 +113,19 @@ object Sampling {
     // chunk ids are monotone in the (orderCols) order because rows
     // sharing the leading value share a chunk and the leading column
     // orders first — so per-chunk offsets compose into the exact
-    // group-wide running sum
-    val chunked = df.withColumn(cChunk, floor(col(orderCols.head).cast("double") / chunkSize).cast("long"))
+    // group-wide running sum. Integral order keys use exact 64-bit
+    // floor-division (the double route silently drifts above 2^53);
+    // fractional keys ARE doubles, so the double floor is exact there.
+    val headIntegral = df.schema.fields.find(_.name == orderCols.head).exists(f =>
+      f.dataType == org.apache.spark.sql.types.ByteType ||
+        f.dataType == org.apache.spark.sql.types.ShortType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType ||
+        f.dataType == org.apache.spark.sql.types.LongType)
+    val chunkOf =
+      if (headIntegral)
+        graft.util.Cols.floorDivLong(col(orderCols.head).cast("long"), chunkSize.toLong)
+      else floor(col(orderCols.head).cast("double") / chunkSize).cast("long")
+    val chunked = df.withColumn(cChunk, chunkOf)
     val wIn = Window
       .partitionBy(col(groupCol), col(cChunk))
       .orderBy(orderCols.map(col(_).asc): _*)

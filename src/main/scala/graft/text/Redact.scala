@@ -22,7 +22,13 @@ object Redact {
   /** Pattern strings (shared with the oracle SQL via [[patterns]]). */
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
-  val Ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Octets are range-checked (0-255, no leading zeros) so version
+    * strings like `999.1.1.1` or `1.2.3.456` don't inflate the scan
+    * counts; still pure alternation (RE2-safe, no lookaround).
+    */
+  private val Ipv4Octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  val Ipv4Pat = s"\\b$Ipv4Octet(?:\\.$Ipv4Octet){3}\\b"
   val PhonePat = "\\+\\d[\\d\\-() ]{7,}\\d"
 
   /** (name, pattern, replacement) in REDACTION ORDER — email first
@@ -40,7 +46,18 @@ object Redact {
   private def count(text: Column, pat: String): Column =
     size(regexp_extract_all(text, lit(pat), lit(0)))
 
-  /** Per-type PII hit counts: n_emails, n_ssns, n_ips, n_phones. */
+  /** Per-type PII hit counts: n_emails, n_ssns, n_ips, n_phones.
+    *
+    * Semantics: each count is an INDEPENDENT scan of the original
+    * text, not a reconciliation of [[redact]]'s sequential replacement
+    * chain — a string matching two patterns (e.g. an SSN embedded in
+    * an email's local part) counts under both even though redaction
+    * replaces it once, under the first pattern in [[patterns]] order.
+    * Known recall limit: [[PhonePat]] requires the leading `+`
+    * (international form); domestic forms like `(555) 123-4567` are
+    * deliberately not matched — a bare-digit-run pattern false-flags
+    * ids, quantities and timestamps far more than it catches phones.
+    */
   def piiCounts(text: Column): Seq[(String, Column)] =
     patterns.map { case (name, pat, _) => s"n_${name}s" -> count(text, pat) }
 

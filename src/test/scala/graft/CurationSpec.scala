@@ -128,6 +128,12 @@ class CurationSpec extends SparkSpec {
       "--shingle-n", "6", "--rates", "en=0.9,zh=0.8", "--default-rate", "0.7"))
     assert(args.nearDup == Curation.NearDupStage.ExactJaccard(0.6))
     assert(args.rates == Map("en" -> 0.9, "zh" -> 0.8))
+    // extended --neardup grammar: shingle-n and LSH banding on the CLI
+    assert(RunCuration.parseNearDup("exact:0.7:4") == Curation.NearDupStage.ExactJaccard(0.7, 4))
+    assert(RunCuration.parseNearDup("lsh:0.6:5:24:2") ==
+      Curation.NearDupStage.MinHashLsh(0.6, 5, 24, 2))
+    assert(RunCuration.parseSpanAction("cut") == Curation.SpanAction.CutSpans)
+    intercept[IllegalArgumentException](RunCuration.parseNearDup("lsh:0.6:5:24"))
     val (in, outN) = RunCuration.run(spark, corpus, eval, args)
     assert(in == corpus.count() && outN > 0 && outN < in)
     // partitioned layout + curated ids are a subset of the corpus
@@ -176,6 +182,21 @@ class CurationSpec extends SparkSpec {
       .select(col("doc_id")).as[Long].collect().toSet
     assert(shipped3 == (100L until 110L).toSet)
 
+    // near-dup audit tables: the pair table the survivor policy
+    // consumed + the transitive clusters over the same graph
+    val pairAudit = spark.read.parquet(s"$out/neardup_pairs")
+    assert(pairAudit.columns.toSet == Set("id_a", "id_b", "jaccard"))
+    val dominated = pairAudit.select(col("id_b")).as[Long].collect().toSet
+    assert(dominated.nonEmpty || pairAudit.count() == 0)
+    assert(ids.intersect(dominated).isEmpty, "a dominated doc survived the near-dup stage")
+    val clusterAudit = spark.read.parquet(s"$out/neardup_clusters")
+    assert(clusterAudit.columns.toSet == Set("doc_id", "cluster_id"))
+    // every paired doc shares its cluster with its pair partner
+    val cmap = clusterAudit.as[(Long, Long)].collect().toMap
+    pairAudit.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().foreach {
+      case (x, y) => assert(cmap(x) == cmap(y), s"pair ($x,$y) split across clusters")
+    }
+
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString
     val withPii = corpus.withColumn("text",
@@ -188,6 +209,96 @@ class CurationSpec extends SparkSpec {
     val shipped = spark.read.parquet(s"$out2/corpus")
     assert(shipped.where(col("text").contains("@corp.example")).count() == 0)
     assert(shipped.where(col("text").contains("[EMAIL]")).count() == n2)
+    // pre/post PII counts audit: every shipped doc carried one injected
+    // email pre-scrub; the post-scan of the redacted text finds none
+    val pii = spark.read.parquet(s"$out2/pii_counts")
+      .select(col("pii_type"), col("n_pre"), col("n_post"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(pii.keySet == Set("n_emails", "n_ssns", "n_ips", "n_phones"))
+    assert(pii("n_emails")._1 == n2 && pii("n_emails")._2 == 0L)
+  }
+
+  test("resumable corpus sink: completed buckets are skipped; RunCuration re-run is a no-op") {
+    import spark.implicits._
+    import graft.graph.Materialize
+    val dir = java.nio.file.Files.createTempDirectory("graft_resume_").toString + "/corpus"
+    val d = (0L until 100L).map(i => (i, s"text $i", Seq("en", "zh")((i % 2).toInt)))
+      .toDF("doc_id", "text", "lang")
+    val bucketOf = pmod(xxhash64(col("doc_id")), lit(4)).cast("int")
+    // "crashed" first run: only the rows of buckets 0-1 made it
+    val n1 = Materialize.writeBucketedResumable(
+      spark, d.where(bucketOf < 2), dir, "doc_id", 4, Seq("lang"))
+    assert(n1 == 2)
+    // resume with the full input, text MUTATED on the completed
+    // buckets' rows: the ledger must skip them (their data is final)
+    val mutated = d.withColumn("text",
+      when(bucketOf < 2, lit("MUST NOT APPEAR")).otherwise(col("text")))
+    val n2 = Materialize.writeBucketedResumable(spark, mutated, dir, "doc_id", 4, Seq("lang"))
+    assert(n2 == 2)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.where(col("text") === "MUST NOT APPEAR").count() == 0)
+    assert(back.select("doc_id").as[Long].collect().toSet == (0L until 100L).toSet)
+    // fully-resumed table: a third run writes nothing
+    assert(Materialize.writeBucketedResumable(spark, d, dir, "doc_id", 4, Seq("lang")) == 0L)
+    // the bucket modulus is pinned — a mismatched re-run fails fast
+    intercept[IllegalArgumentException] {
+      Materialize.writeBucketedResumable(spark, d, dir, "doc_id", 8, Seq("lang"))
+    }
+
+    // integration: a second identical RunCuration invocation resumes to
+    // a no-op and the shipped corpus is unchanged
+    val all = spark.read.parquet(docs)
+    val corpus = all.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val eval = all.where(col("doc_id") % 20 === 0).select(col("text"))
+    val out = java.nio.file.Files.createTempDirectory("graft_resume_run_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out, "--shingle-n", "6", "--buckets", "8"))
+    val (_, first) = RunCuration.run(spark, corpus, eval, args)
+    val ids1 = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().sorted
+    val (_, second) = RunCuration.run(spark, corpus, eval, args)
+    val ids2 = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().sorted
+    assert(first == second && ids1.sameElements(ids2))
+    // --fresh rebuilds from scratch (stale ledger cleared)
+    val argsFresh = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out, "--shingle-n", "6", "--buckets", "8", "--fresh"))
+    val (_, third) = RunCuration.run(spark, corpus, eval, argsFresh)
+    assert(third == first)
+  }
+
+  test("curate: CutSpans excises boilerplate and keeps the docs; with a cap, over-cap docs still drop") {
+    import spark.implicits._
+    import graft.pipeline.Curation.SpanAction
+    val boiler = "terms of service apply to all users of this site always"
+    // A: almost pure boilerplate (dup_fraction 11/12 ~ 0.92); B:
+    // boilerplate + a 5-token unique tail (11/16 ~ 0.69); C: unique
+    val a = (0L until 8L).map(i => (i, s"$boiler a$i", "en"))
+    val b = (10L until 20L).map(i => (i, s"$boiler u$i v$i w$i x$i y$i", "en"))
+    val c = (100L until 110L).map(i => (i, s"doc$i body$i text$i words$i here$i only$i", "en"))
+    val corpus = (a ++ b ++ c).toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    def run(cap: Option[Double], action: SpanAction) = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6,
+        nearDup = Curation.NearDupStage.ExactJaccard(0.9, 3),
+        maxDupFraction = cap, spanShingleN = 3, spanAction = action)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    // surgery without a cap: every doc kept, boilerplate cut everywhere
+    val cut = run(None, SpanAction.CutSpans)
+    assert(cut.keySet == (a ++ b ++ c).map(_._1).toSet)
+    a.foreach { case (i, _, _) => assert(cut(i) == s"a$i") }
+    b.foreach { case (i, _, _) => assert(cut(i) == s"u$i v$i w$i x$i y$i") }
+    c.foreach { case (i, t, _) => assert(cut(i) == t) } // untouched, byte-identical
+    // surgery WITH a cap: mostly-boilerplate A drops wholesale, B is
+    // kept and cut (both decisions from one span report), C untouched
+    val cutCap = run(Some(0.8), SpanAction.CutSpans)
+    assert(cutCap.keySet == (b ++ c).map(_._1).toSet)
+    b.foreach { case (i, _, _) => assert(cutCap(i) == s"u$i v$i w$i x$i y$i") }
+    // the default action with the same cap drops A but leaves B uncut
+    val dropCap = run(Some(0.8), SpanAction.DropDocs)
+    assert(dropCap.keySet == (b ++ c).map(_._1).toSet)
+    b.foreach { case (i, t, _) => assert(dropCap(i) == t) }
   }
 
   test("curate: boilerplate stage drops span-heavy docs that near-dup keeps") {

@@ -280,4 +280,70 @@ class DedupAnnSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(tieBest == Set(1L, 9L))
   }
+
+  test("quality survivor matches the window reference on a planted giant chained cluster") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // transitive chaining builds ONE mega component out of 3000 docs
+    // that are each similar only to their neighbors — the shape the
+    // narrow argmax plan exists for (no text on the cluster exchange,
+    // no single-task cluster) — plus scattered singletons
+    val n = 3000
+    val chained = (0 until n).map(i => (i.toLong, s"text $i", (i * 2654435761L % 1000) / 1000.0))
+    val singles = (100000 until 100050).map(i => (i.toLong, s"solo $i", 0.42))
+    val docs = (chained ++ singles).toDF("doc_id", "text", "quality")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i + 1L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupSurvivorsByQuality(spark, docs, pairs, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    // reference: the old single-window form over the same clusters
+    val clusters = Dedup.nearDupClusters(spark, docs.select(col("doc_id")), pairs, "doc_id")
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("quality").desc, col("doc_id").asc)
+    val want = docs.join(clusters, Seq("doc_id"))
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("_rn") === 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(got.size == 1 + 50) // one winner for the mega cluster + the singletons
+  }
+
+  test("operators compose with their own output: caller columns named cluster_id/_rn survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", 0.5, 77L, "keep"), (2L, "b", 0.9, 88L, "keep"), (3L, "c", 0.7, 99L, "keep")
+    ).toDF("doc_id", "text", "quality", "cluster_id", "_rn")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.nearDupSurvivorsByQuality(spark, docs, pairs, "doc_id", "quality")
+    // no ambiguous-column analysis error, caller columns untouched
+    assert(out.columns.toSeq == Seq("doc_id", "text", "quality", "cluster_id", "_rn"))
+    assert(out.select("doc_id", "cluster_id", "_rn").as[(Long, Long, String)].collect().toSet ==
+      Set((2L, 88L, "keep"), (3L, 99L, "keep")))
+  }
+
+  test("maxClusterSize splits a chained component into contiguous id-ranked sub-clusters") {
+    import spark.implicits._
+    // a 23-member chain (pairwise-similar neighbors only) with sparse,
+    // unordered ids + a singleton; rankChunkSize=4 forces the
+    // two-phase rank through many chunks
+    val ids = Seq(5L, 900L, 17L, 42L, 3L, 1000L, 77L, 8L, 250L, 61L, 999L, 12L,
+      400L, 2L, 88L, 301L, 9L, 150L, 33L, 700L, 56L, 21L, 500L)
+    val docs = (ids :+ 123456L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val sorted = ids.sorted
+    val pairs = sorted.zip(sorted.tail).toDF("id_a", "id_b") // one chained component
+    val cap = 5
+    val got = Dedup
+      .nearDupClusters(spark, docs, pairs, "doc_id", maxClusterSize = Some(cap), rankChunkSize = 4)
+      .as[(Long, Long)].collect().toMap
+    // expected: contiguous runs of 5 in id order, labeled by each run's min
+    val expected = sorted.zipWithIndex.map { case (id, r) => id -> sorted(r / cap * cap) }.toMap +
+      (123456L -> 123456L)
+    assert(got == expected)
+    assert(got.groupBy(_._2).values.map(_.size).max <= cap)
+    // a cap at least the component size reproduces the uncapped labels
+    val uncapped = Dedup.nearDupClusters(spark, docs, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    val bigCap = Dedup
+      .nearDupClusters(spark, docs, pairs, "doc_id", maxClusterSize = Some(ids.size), rankChunkSize = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(bigCap == uncapped)
+  }
 }

@@ -42,6 +42,13 @@ class RedactSpec extends SparkSpec {
     assert(one(one("a@b.co +1 555-123-4567")._1)._1 == one("a@b.co +1 555-123-4567")._1)
   }
 
+  test("ipv4: octets are range-checked — version-ish dotted numbers don't count as IPs") {
+    assert(one("see 999.999.999.999 and 1.2.3.456 and 256.1.1.1 here") == (
+      "see 999.999.999.999 and 1.2.3.456 and 256.1.1.1 here", 0, 0, 0, 0))
+    val (red, _, _, i, _) = one("edges 0.0.0.0 and 255.255.255.255 mid 10.0.255.1 ok")
+    assert(i == 3 && red == "edges [IP] and [IP] mid [IP] ok")
+  }
+
   test("containsPii: filter predicate matches the counts") {
     import spark.implicits._
     val df = Seq(

@@ -89,6 +89,27 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("floorDivLong is exact floor division on negatives and above 2^53") {
+    import spark.implicits._
+    // the double route rounds above 2^53 — these ids would drift chunks
+    val ids = Seq(-9L, -8L, -1L, 0L, 7L, (1L << 53) + 1L, (1L << 62) + 3L, Long.MaxValue - 2L,
+      Long.MinValue + 5L)
+    for (n <- Seq(1L, 4L, 256L, 1048576L)) {
+      val got = ids.toDF("id")
+        .select(col("id"), graft.util.Cols.floorDivLong(col("id"), n).as("q"))
+        .as[(Long, Long)].collect().toMap
+      ids.foreach(i => assert(got(i) == Math.floorDiv(i, n), s"id=$i n=$n"))
+    }
+    // chunked cap stays exact when order keys sit above 2^53 (double
+    // cast would merge distinct chunks up there)
+    val big = (0L until 8L).map(i => ("s", (1L << 53) + i * 3, 10L)).toDF("source", "doc_id", "n_toks")
+    val want = Sampling.tokenBudgetCapWindowed(big, "source", Seq("doc_id"), "n_toks", 50L)
+      .select("doc_id").as[Long].collect().toSet
+    val got = Sampling.tokenBudgetCap(big, "source", Seq("doc_id"), "n_toks", 50L, chunkSize = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want && want.size == 5)
+  }
+
   test("tokenBudgetCap: caller columns named like temps survive untouched") {
     import spark.implicits._
     val df = Seq(("a", 1L, 10L, "keep1", "keep2"), ("a", 2L, 10L, "x", "y"))

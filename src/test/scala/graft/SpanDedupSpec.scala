@@ -164,6 +164,53 @@ class SpanDedupSpec extends SparkSpec {
     assert(got.exists(_._2 > 0) && got.exists(_._2 == 0)) // non-vacuous both ways
   }
 
+  test("removeSpans: cuts duplicated spans, keeps docs; untouched docs pass byte-identical") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "X1 x2 P Q r s x3 x4", "keep"), // dup span [2,5] -> cut, case preserved elsewhere
+      (2L, "y1 p q R S y2 y3", "keep"),
+      (3L, "  odd\twhitespace  untouched\n", "keep"), // no span: byte-identical passthrough
+      (4L, "p q r s", "keep"), // fully covered -> empty string
+      (5L, "p q r s tail1 tail2", "keep")
+    ).toDF("doc_id", "text", "_sdc_spans") // caller column named like the temp must survive
+    val got = SpanDedup.removeSpans(spark, df, "doc_id", "text", 3, 2)
+      .as[(Long, String, String)].collect().map { case (id, t, k) => id -> ((t, k)) }.toMap
+    assert(got(1L) == ("X1 x2 x3 x4", "keep"))
+    assert(got(2L) == ("y1 y2 y3", "keep"))
+    assert(got(3L) == ("  odd\twhitespace  untouched\n", "keep"))
+    assert(got(4L) == ("", "keep"))
+    assert(got(5L) == ("tail1 tail2", "keep"))
+  }
+
+  test("removeSpans agrees with a local cut of the (verified) span report on a random corpus") {
+    import spark.implicits._
+    def rng(seed: Long): Iterator[Long] =
+      Iterator.iterate(graft.util.Hashing.mix64(seed))(graft.util.Hashing.mix64)
+    val n = 4
+    val corpus = (0L until 80L).map { i =>
+      val len = 2 + (rng(i).next() % 23 + 23) % 23
+      val toks = rng(i * 7 + 1).take(len.toInt).map(h => s"w${(h % 9 + 9) % 9}").toSeq
+      (i, toks.mkString(" "))
+    }
+    val report = SpanDedup
+      .duplicateSpans(spark, corpus.toDF("doc_id", "text"), "doc_id", "text", n, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(s => (s._2, s._3)).toSeq).toMap
+    val expected = corpus.map { case (id, t) =>
+      report.get(id) match {
+        case None => id -> t
+        case Some(ss) =>
+          val toks = t.split("\\s+").filter(_.nonEmpty).zipWithIndex
+          id -> toks.collect { case (w, i) if !ss.exists(s => i >= s._1 && i <= s._2) => w }
+            .mkString(" ")
+      }
+    }.toMap
+    val got = SpanDedup.removeSpans(spark, corpus.toDF("doc_id", "text"), "doc_id", "text", n, 2)
+      .as[(Long, String)].collect().toMap
+    assert(got == expected)
+    assert(corpus.toMap != expected) // non-vacuous: something was cut
+  }
+
   test("duplicateSpans: deterministic under repartitioning") {
     import spark.implicits._
     val rows = (0L until 60L).map { i =>
