@@ -617,24 +617,33 @@ object SparkEntry {
     //      0.95) with the stage non-vacuous.
     "q_curate_lsh_guard" -> ((s, dir) => {
       import s.implicits._
+      import org.apache.spark.storage.StorageLevel
       val corpus = docsWithClipsLang(s, dir).where(col("doc_id") % 20 =!= 0)
+      // four count actions consume these plans; pin the shared
+      // prefixes so the dedup + pair joins each run ONCE (unpersisted
+      // before returning — the result below is literal rows)
       val deduped = Dedup.normalizedExact(corpus, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val exactSurv = Dedup.nearDupSurvivorsFromPairs(
         deduped, Dedup.jaccardPairsExact(s, deduped, "doc_id", "text", 3, 0.6), "doc_id")
-        .select(col("doc_id"))
+        .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
       val lshSurv = Dedup.nearDupSurvivorsFromPairs(
         deduped, Dedup.minhashNearDupPairs(s, deduped, "doc_id", "text", 3, 0.6, 16, 4), "doc_id")
-        .select(col("doc_id"))
-      val nTotal = deduped.count()
-      val nExact = exactSurv.count()
-      val nLsh = lshSurv.count()
-      val nViol = exactSurv.join(lshSurv, Seq("doc_id"), "left_anti").count()
-      val removedExact = nTotal - nExact
-      val recall = if (removedExact == 0) 1.0 else (nTotal - nLsh).toDouble / removedExact
-      Seq(
-        ("lsh_survivors_contain_exact", nViol == 0L),
-        ("lsh_removal_recall_ge_floor", removedExact > 0 && recall >= 0.95)
-      ).toDF("check_name", "ok")
+        .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nTotal = deduped.count()
+        val nExact = exactSurv.count()
+        val nLsh = lshSurv.count()
+        val nViol = exactSurv.join(lshSurv, Seq("doc_id"), "left_anti").count()
+        val removedExact = nTotal - nExact
+        val recall = if (removedExact == 0) 1.0 else (nTotal - nLsh).toDouble / removedExact
+        Seq(
+          ("lsh_survivors_contain_exact", nViol == 0L),
+          ("lsh_removal_recall_ge_floor", removedExact > 0 && recall >= 0.95)
+        ).toDF("check_name", "ok")
+      } finally {
+        lshSurv.unpersist(); exactSurv.unpersist(); deduped.unpersist()
+      }
     }),
 
     // ---- dedup: MinHash precision guard — LSH output anti-joined
