@@ -135,6 +135,53 @@ object RunCuration {
     case other => throw new IllegalArgumentException(s"unknown args: $other")
   }
 
+  /** Canonical string of every semantics-bearing argument (rates
+    * sorted for map-order stability). The resumable sink's ledger keys
+    * on bucket id only, so a re-run with DIFFERENT flags or inputs
+    * against an existing output dir would silently keep the old
+    * buckets while rewriting the audits from the new config — the
+    * fingerprint turns that into a fail-fast instead.
+    */
+  private[graft] def configFingerprint(a: Args): String = {
+    val rates = a.rates.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    Seq(
+      s"docs=${a.docs}", s"eval=${a.eval}", s"idCol=${a.idCol}", s"textCol=${a.textCol}",
+      s"strataCol=${a.strataCol}", s"evalTextCol=${a.evalTextCol}",
+      s"minTokens=${a.minTokens}", s"qualityFloor=${a.qualityFloor}",
+      s"nearDup=${a.nearDup}", s"maxDupFraction=${a.maxDupFraction}",
+      s"spanAction=${a.spanAction}", s"shingleN=${a.shingleN}",
+      s"spanShingleN=${a.spanShingleN}", s"spanMinDf=${a.spanMinDf}",
+      s"rates=$rates", s"defaultRate=${a.defaultRate}", s"redact=${a.redact}",
+      s"buckets=${a.buckets}"
+    ).mkString(";")
+  }
+
+  /** Pin the run config next to the output: first run records it,
+    * every later run must match or pass --fresh (resume is only sound
+    * against the same input and flags).
+    */
+  private def requireSameConfig(spark: SparkSession, a: Args): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${a.out}/_curation_config.txt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = configFingerprint(a)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      in.close()
+      val existing = buf.toString("UTF-8")
+      require(existing == fp,
+        s"output dir ${a.out} was written with a different curation config — resuming would " +
+          s"mix stale buckets with new audits; pass --fresh to rebuild.\n  have: $existing\n  want: $fp")
+    } else {
+      val os = fs.create(p, true)
+      os.write(fp.getBytes("UTF-8"))
+      os.close()
+    }
+  }
+
   /** Per-type PII totals over a corpus (one aggregation; null sums of
     * an empty corpus fold to 0).
     */
@@ -162,6 +209,7 @@ object RunCuration {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
     }
+    requireSameConfig(spark, a)
     val staged = Curation.curateStaged(
       spark, docs, eval,
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
@@ -177,11 +225,13 @@ object RunCuration {
     // parquet of afterNearDup that all consumers scan.
     import org.apache.spark.storage.StorageLevel
     val pinned =
-      staged.nearDupPairs.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+      staged.deduped.persist(StorageLevel.MEMORY_AND_DISK) ::
+        staged.nearDupPairs.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.afterNearDup.persist(StorageLevel.MEMORY_AND_DISK) ::
         staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
         staged.spanReport.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
-        staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList
+        staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+        staged.sampled.persist(StorageLevel.MEMORY_AND_DISK) :: Nil
     try {
       // PII scrubbing runs LAST, on the shipped mix only (earlier
       // stages must see the original text so dedup/decontam semantics
@@ -213,9 +263,11 @@ object RunCuration {
         // pre/post scrub counts per PII type over the SHIPPED mix —
         // the table a data owner checks to see what redaction did
         // (post-counts are re-scans of the redacted text: residuals
-        // mean a pattern gap, not a failed replace)
+        // mean a pattern gap, not a failed replace). Pre reads the
+        // pinned sampled plan; post reads the corpus parquet just
+        // written (one column scan, not a pipeline replay)
         val pre = piiTotals(staged.sampled, a.textCol)
-        val post = piiTotals(shipped, a.textCol)
+        val post = piiTotals(spark.read.parquet(s"${a.out}/corpus"), a.textCol)
         pre.zip(post).map { case ((n, p), (_, q)) => (n, p, q) }
           .toDF("pii_type", "n_pre", "n_post")
           .coalesce(1)

@@ -381,10 +381,10 @@ object Dedup {
   }
 
   /** Quality-aware survivor policy: per near-dup CLUSTER keep the
-    * highest-quality document (tie: min id; a null quality ranks below
-    * every non-null one) — the policy a production pipeline actually
-    * wants (the pairwise smaller-id-wins form keeps the OLDEST copy;
-    * this keeps the BEST).
+    * highest-quality document (tie: min id; a null or NaN quality
+    * ranks below every real score) — the policy a production pipeline
+    * actually wants (the pairwise smaller-id-wins form keeps the
+    * OLDEST copy; this keeps the BEST).
     *
     * Scale shape: clusters are transitive ([[nearDupClusters]]) and
     * transitive closure CHAINS — a template-spam family can merge a
@@ -417,13 +417,17 @@ object Dedup {
     val cWin = fresh(names + cId, "_ndq_win")
     val narrow = df.select(col(idCol).cast("long").as(cId), col(qualityCol))
     val clusters = nearDupClusters(spark, narrow.select(col(cId)), pairs, cId, maxClusterSize)
-    // ascending-min rank = (quality DESC NULLS LAST, id ASC): a null
-    // flag first so null quality loses to any non-null, then the
+    // ascending-min rank = (quality DESC NULLS LAST, id ASC): an
+    // invalid flag first so a null OR NaN quality loses to any real
+    // score (a NaN score is a broken metric, not a best document —
+    // the old window form accidentally ranked NaN above everything
+    // because Spark sorts NaN greater than any double), then the
     // negated quality, then the unique id — total order, so min_by is
     // deterministic
+    val invalid = col(qualityCol).isNull || isnan(col(qualityCol).cast("double"))
     val rank = struct(
-      when(col(qualityCol).isNull, lit(1)).otherwise(lit(0)).as("nullq"),
-      coalesce(-col(qualityCol), lit(0.0)).as("negq"),
+      when(invalid, lit(1)).otherwise(lit(0)).as("nullq"),
+      when(invalid, lit(0.0)).otherwise(-col(qualityCol)).as("negq"),
       col(cId).as("id"))
     val winners = narrow
       .join(clusters, Seq(cId))

@@ -107,12 +107,63 @@ object Materialize {
   }
 
   /** Buckets already written successfully (empty DF on first run). */
-  def completedBuckets(spark: SparkSession, outDir: String): DataFrame = {
+  def completedBuckets(spark: SparkSession, outDir: String): DataFrame =
+    completedBucketsAt(spark, lineagePath(outDir))
+
+  private def completedBucketsAt(spark: SparkSession, ledgerDir: String): DataFrame = {
     import spark.implicits._
-    val p = new org.apache.hadoop.fs.Path(lineagePath(outDir))
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(lineagePath(outDir)).select($"bucket")
+    if (fs.exists(p)) spark.read.parquet(ledgerDir).select($"bucket")
     else Seq.empty[Int].toDF("bucket")
+  }
+
+  /** THE ledger-write core both resumable bucketed sinks share (the
+    * edge sink and the generic table sink) — one definition of the
+    * idempotence-critical protocol so the two cannot drift: anti-join
+    * away completed buckets, co-locate each pending bucket into one
+    * task, dynamic-partition-overwrite the data (a crashed bucket is
+    * cleanly redone), THEN append the per-bucket counter rows to the
+    * ledger (a bucket whose data landed but whose ledger row didn't is
+    * rewritten with identical content on the next run).
+    *
+    * @param counters derives the ledger rows from the pending data
+    *        (must carry a `bucket` column; the two sinks keep their
+    *        historical counter schemas: convs vs keys)
+    * @return number of buckets written this invocation
+    */
+  private def writePendingBuckets(
+      spark: SparkSession,
+      bucketed: DataFrame, // carries BucketCol
+      dataDir: String,
+      ledgerDir: String,
+      partitionCols: Seq[String],
+      numBuckets: Int,
+      counters: DataFrame => DataFrame
+  ): Long = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = completedBucketsAt(spark, ledgerDir)
+    // persisted for the duration: consumed by the data write AND the
+    // lineage counters, and its upstream may be a whole pipeline
+    val pending = bucketed
+      .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // co-locate each bucket into one task before the partitioned
+      // write: without this every task writes to every bucket dir
+      // (tasks x buckets small files — the classic partitionBy file
+      // explosion)
+      pending
+        .repartition(numBuckets, col(BucketCol))
+        .write
+        .mode(SaveMode.Overwrite)
+        .partitionBy((partitionCols :+ BucketCol): _*)
+        .parquet(dataDir)
+      val rows = counters(pending)
+      val n = rows.count()
+      if (n > 0) rows.write.mode(SaveMode.Append).parquet(ledgerDir)
+      n
+    } finally pending.unpersist()
   }
 
   /** Write `edges` partitioned by bucket, skipping buckets recorded in
@@ -129,7 +180,6 @@ object Materialize {
       numBuckets: Int = 32
   ): Long = {
     import spark.implicits._
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val fsMeta = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     requireLayout(spark, outDir, LayoutBucketed, "writeEdges")
@@ -137,44 +187,15 @@ object Materialize {
       require(n == numBuckets, s"table at $outDir was written with num_buckets=$n, got $numBuckets"))
     writeTableMeta(fsMeta, outDir, numBuckets, LayoutBucketed)
 
-    val bucketed = withBucket(edges, numBuckets)
-    val done = completedBuckets(spark, outDir)
-    // persist for the duration of the write: the plan is consumed twice
-    // (data write + lineage counters) and its upstream is the whole KG
-    // pipeline — recomputing it doubled the flagship job's cost
-    val pending = bucketed
-      .join(
-        done.withColumnRenamed("bucket", BucketCol),
-        Seq(BucketCol),
-        "left_anti"
-      )
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // co-locate each bucket into one task before the partitioned
-      // write: without this every task writes to every bucket dir
-      // (tasks x buckets small files — the classic partitionBy file
-      // explosion)
-      pending
-        .repartition(numBuckets, col(BucketCol))
-        .write
-        .mode(SaveMode.Overwrite)
-        .partitionBy(BucketCol)
-        .parquet(s"$outDir/edges")
-
-      // lineage + counter metrics per partition (north_rule)
-      val counters = pending
-        .groupBy(col(BucketCol).as("bucket"))
-        .agg(
-          count(lit(1)).as("rows"),
-          countDistinct($"conv_id").as("convs")
-        )
-        .withColumn("written_at", current_timestamp())
-      val n = counters.count()
-      if (n > 0) {
-        counters.write.mode(SaveMode.Append).parquet(lineagePath(outDir))
-      }
-      n
-    } finally pending.unpersist()
+    // lineage + counter metrics per partition (north_rule)
+    writePendingBuckets(
+      spark, withBucket(edges, numBuckets), s"$outDir/edges", lineagePath(outDir),
+      Nil, numBuckets,
+      pending =>
+        pending
+          .groupBy(col(BucketCol).as("bucket"))
+          .agg(count(lit(1)).as("rows"), countDistinct($"conv_id").as("convs"))
+          .withColumn("written_at", current_timestamp()))
   }
 
   def writeVertices(vertices: DataFrame, outDir: String): Unit =
@@ -209,36 +230,21 @@ object Materialize {
   ): Long = {
     require(!df.columns.contains(BucketCol),
       s"df already carries a $BucketCol column — rename it before the resumable write")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     tableNumBuckets(spark, dir).foreach(n =>
       require(n == numBuckets, s"table at $dir was written with num_buckets=$n, got $numBuckets"))
     writeTableMeta(fs, dir, numBuckets, LayoutBucketed)
 
-    val bucketed =
-      df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int"))
-    val done = completedBuckets(spark, dir)
-    // persisted for the duration: consumed by the data write AND the
-    // lineage counters, and its upstream may be a whole curation chain
-    val pending = bucketed
-      .join(done.withColumnRenamed("bucket", BucketCol), Seq(BucketCol), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      pending
-        .repartition(numBuckets, col(BucketCol))
-        .write
-        .mode(SaveMode.Overwrite)
-        .partitionBy((partitionCols :+ BucketCol): _*)
-        .parquet(dir)
-      val counters = pending
-        .groupBy(col(BucketCol).as("bucket"))
-        .agg(count(lit(1)).as("rows"), countDistinct(col(keyCol)).as("keys"))
-        .withColumn("written_at", current_timestamp())
-      val n = counters.count()
-      if (n > 0) counters.write.mode(SaveMode.Append).parquet(lineagePath(dir))
-      n
-    } finally pending.unpersist()
+    writePendingBuckets(
+      spark,
+      df.withColumn(BucketCol, pmod(xxhash64(col(keyCol)), lit(numBuckets)).cast("int")),
+      dir, lineagePath(dir), partitionCols, numBuckets,
+      pending =>
+        pending
+          .groupBy(col(BucketCol).as("bucket"))
+          .agg(count(lit(1)).as("rows"), countDistinct(col(keyCol)).as("keys"))
+          .withColumn("written_at", current_timestamp()))
   }
 
   /** Streaming-sink append with per-BATCH idempotence — the foreachBatch

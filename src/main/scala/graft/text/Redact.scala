@@ -23,11 +23,14 @@ object Redact {
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val SsnPat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 
-  /** Octets are range-checked (0-255, no leading zeros) so version
-    * strings like `999.1.1.1` or `1.2.3.456` don't inflate the scan
-    * counts; still pure alternation (RE2-safe, no lookaround).
+  /** Octets are range-checked (0-255) so version-ish dotted numbers
+    * like `999.1.1.1` or `1.2.3.456` don't inflate the scan counts;
+    * zero-padded octets (`192.168.001.001`, common in syslog exports)
+    * still match — for REDACTION the safe error is over-scrub, so the
+    * range check must not shrink recall on real IP notation. Pure
+    * alternation (RE2-safe, no lookaround).
     */
-  private val Ipv4Octet = "(?:25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  private val Ipv4Octet = "(?:25[0-5]|2[0-4]\\d|[01]?\\d{1,2})"
   val Ipv4Pat = s"\\b$Ipv4Octet(?:\\.$Ipv4Octet){3}\\b"
   val PhonePat = "\\+\\d[\\d\\-() ]{7,}\\d"
 

@@ -22,12 +22,14 @@ object Cols {
     * entirely in 64-bit integer arithmetic. The double route
     * (`floor(c.cast("double") / n)`) loses precision above 2^53 — chunk
     * boundaries near the top of a long id space would silently drift.
-    * Here the non-negative remainder is subtracted first (pmod), after
-    * which the quotient is exact and SQL `div`'s truncation equals
-    * floor for negatives too.
+    * SQL `div` truncates toward zero, so a negative non-divisible value
+    * is adjusted down by one; this form never leaves the long range
+    * (the subtract-the-remainder form underflowed for values within n
+    * of Long.MinValue — an ANSI ARITHMETIC_OVERFLOW).
     */
   def floorDivLong(c: Column, n: Long): Column = {
     require(n > 0, s"floorDivLong divisor must be positive, got $n")
-    call_function("div", c - pmod(c, lit(n)), lit(n))
+    val q = call_function("div", c, lit(n))
+    when(c < 0 && pmod(c, lit(n)) =!= 0, q - 1).otherwise(q)
   }
 }

@@ -260,6 +260,12 @@ class CurationSpec extends SparkSpec {
     val (_, second) = RunCuration.run(spark, corpus, eval, args)
     val ids2 = spark.read.parquet(s"$out/corpus").select("doc_id").as[Long].collect().sorted
     assert(first == second && ids1.sameElements(ids2))
+    // a changed config against the same out dir fails fast instead of
+    // silently mixing stale buckets with new-config audits
+    val argsChanged = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out, "--shingle-n", "6", "--buckets", "8",
+      "--min-tokens", "5"))
+    intercept[IllegalArgumentException](RunCuration.run(spark, corpus, eval, argsChanged))
     // --fresh rebuilds from scratch (stale ledger cleared)
     val argsFresh = RunCuration.parse(List(
       "--docs", "u", "--eval", "u", "--out", out, "--shingle-n", "6", "--buckets", "8", "--fresh"))

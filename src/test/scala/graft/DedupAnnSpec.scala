@@ -279,6 +279,14 @@ class DedupAnnSpec extends SparkSpec {
     val tieBest = Dedup.nearDupSurvivorsByQuality(spark, tied, pairs, "doc_id", "quality")
       .select("doc_id").as[Long].collect().toSet
     assert(tieBest == Set(1L, 9L))
+    // a null or NaN quality is a broken score, not a best document —
+    // it loses to any real score (doc 1: NaN, doc 2: null, doc 3: 0.1)
+    val broken = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", Double.NaN), (2L, "b", null), (3L, "c", 0.1), (9L, "d", 0.2)
+    ).toDF("doc_id", "text", "quality")
+    val cleanWins = Dedup.nearDupSurvivorsByQuality(spark, broken, pairs, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(cleanWins == Set(3L, 9L))
   }
 
   test("quality survivor matches the window reference on a planted giant chained cluster") {

@@ -47,6 +47,10 @@ class RedactSpec extends SparkSpec {
       "see 999.999.999.999 and 1.2.3.456 and 256.1.1.1 here", 0, 0, 0, 0))
     val (red, _, _, i, _) = one("edges 0.0.0.0 and 255.255.255.255 mid 10.0.255.1 ok")
     assert(i == 3 && red == "edges [IP] and [IP] mid [IP] ok")
+    // zero-padded octets are REAL IP notation (syslog exports) and must
+    // still scrub — the range check may not shrink redaction recall
+    val (red2, _, _, i2, _) = one("src 192.168.001.001 dst 010.000.000.255 end")
+    assert(i2 == 2 && red2 == "src [IP] dst [IP] end")
   }
 
   test("containsPii: filter predicate matches the counts") {

@@ -93,7 +93,7 @@ class SamplingSpec extends SparkSpec {
     import spark.implicits._
     // the double route rounds above 2^53 — these ids would drift chunks
     val ids = Seq(-9L, -8L, -1L, 0L, 7L, (1L << 53) + 1L, (1L << 62) + 3L, Long.MaxValue - 2L,
-      Long.MinValue + 5L)
+      Long.MinValue, Long.MinValue + 1L, Long.MinValue + 5L)
     for (n <- Seq(1L, 4L, 256L, 1048576L)) {
       val got = ids.toDF("id")
         .select(col("id"), graft.util.Cols.floorDivLong(col("id"), n).as("q"))
