@@ -336,4 +336,63 @@ object SpanDedup {
       .withColumn("dup_fraction", col("_span._4"))
       .drop("_span")
   }
+
+  /** Streaming span SURGERY: stateless per-row [[removeSpans]] against
+    * the broadcast duplicated-gram table — the ingestion-time cut
+    * (boilerplate excised as documents arrive, no state store), the
+    * same shape as [[streamingSpanStats]]. Semantics are pinned to the
+    * batch operator digit-for-digit (SpanDedupSpec): a token is cut
+    * iff it sits under a duplicated n-gram window, which equals the
+    * batch form's merged-island cover (islands merge windows whose
+    * starts are <= n apart — adjacent-or-overlapping covers — so the
+    * island range IS the union of its window covers, no holes).
+    * Span-free and sub-n-token documents pass through byte-identical;
+    * rebuilt documents re-join surviving original-case tokens with
+    * single spaces.
+    */
+  def streamingRemoveSpans(
+      df: DataFrame, // batch OR streaming, carries textCol
+      textCol: String,
+      dupGrams: org.apache.spark.broadcast.Broadcast[Array[Long]],
+      shingleN: Int = 6
+  ): DataFrame = {
+    val cut = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val low = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (low.length < shingleN) t
+        else {
+          val covered = new Array[Boolean](low.length)
+          var any = false
+          var i = 0
+          while (i <= low.length - shingleN) {
+            val h = Hashing.hashString(low.slice(i, i + shingleN).mkString(" "))
+            if (java.util.Arrays.binarySearch(dupGrams.value, h) >= 0) {
+              any = true
+              var k = i
+              while (k < i + shingleN) { covered(k) = true; k += 1 }
+            }
+            i += 1
+          }
+          if (!any) t
+          else {
+            // original-case tokens align with the lowercased positions
+            // (lowercasing never moves whitespace)
+            val orig = t.split("\\s+").filter(_.nonEmpty)
+            val sb = new StringBuilder
+            var j = 0
+            while (j < orig.length) {
+              if (!covered(j)) {
+                if (sb.nonEmpty) sb.append(' ')
+                sb.append(orig(j))
+              }
+              j += 1
+            }
+            sb.toString
+          }
+        }
+      }
+    }
+    df.withColumn(textCol, cut(col(textCol)))
+  }
 }

@@ -211,6 +211,43 @@ class SpanDedupSpec extends SparkSpec {
     assert(corpus.toMap != expected) // non-vacuous: something was cut
   }
 
+  test("streamingRemoveSpans: stateless stream cut matches batch removeSpans byte-for-byte") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().take(150) ++ Seq(
+        (900000L, "shared streaming span block here\n"),
+        (900001L, "\tshared streaming span block here"),
+        (900002L, "  untouched\twhitespace survives  intact\n"))
+    val corpusDf = corpus.toSeq.toDF("doc_id", "text")
+    val bc = graft.dedup.SpanDedup.dupGramSet(spark, corpusDf, "doc_id", "text", 4, 2)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val cutStream = graft.dedup.SpanDedup.streamingRemoveSpans(
+      input.toDS().toDF("doc_id", "text"), "text", bc, 4)
+    val q = cutStream.writeStream.format("memory").queryName("stream_cut")
+      .outputMode("append").start()
+    input.addData(corpus.take(70).toSeq)
+    q.processAllAvailable()
+    input.addData(corpus.drop(70).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT doc_id, text FROM stream_cut")
+      .as[(Long, String)].collect().toMap
+    val batch = graft.dedup.SpanDedup
+      .removeSpans(spark, corpusDf, "doc_id", "text", 4, 2)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == corpus.length)
+    assert(got == batch)
+    val original = corpus.toMap
+    assert(got.exists { case (id, t) => t != original(id) }) // something was cut
+    assert(got(900002L) == original(900002L)) // untouched doc keeps its whitespace
+    assert(got(900000L) == "" && got(900001L) == "") // fully-covered docs empty
+  }
+
   test("duplicateSpans: deterministic under repartitioning") {
     import spark.implicits._
     val rows = (0L until 60L).map { i =>
