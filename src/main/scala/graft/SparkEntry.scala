@@ -823,6 +823,52 @@ object SparkEntry {
         .annotate(read(s, dir, "documents"), "text")
         .select(col("doc_id"), col("token_count"), col("lang_guess"), col("quality"))),
 
+    // ---- intra-doc repetition profile (the Gopher/MassiveText
+    //      repetition family): duplicated-unit fraction, chars inside
+    //      duplicated units, the most-chars repeated 2-gram, and the
+    //      fraction of units under a 2-gram that repeats WITHIN the
+    //      document. All scan-side HOF Column expressions — no
+    //      shuffle, per-doc cost bounded by doc length.
+    "q_repetition" -> ((s, dir) =>
+      graft.text.Repetition
+        .addSignals(read(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(
+          col("doc_id"),
+          col("n_units").cast("long").as("n_units"),
+          col("n_distinct_units").cast("long").as("n_distinct_units"),
+          col("dup_unit_fraction"),
+          col("dup_unit_char_fraction"),
+          col("top_ngram_char_fraction"),
+          col("dup_ngram_positions").cast("long").as("dup_ngram_positions"),
+          col("covered_units").cast("long").as("covered_units"),
+          col("dup_ngram_unit_fraction"))),
+
+    // ---- Gopher-rule document filter over those signals. Thresholds
+    //      tuned to bite on this corpus (words p5 ~15 -> min 20; mean
+    //      word len 3.7-5.3 -> min 4.0; dup_unit_fraction median 0.54
+    //      max 0.72 -> cap 0.6; top-2-gram fraction p90 0.14 -> cap
+    //      0.2). Flags emitted as 0/1 longs for cross-engine hashing.
+    "q_gopher_filter" -> ((s, dir) => {
+      val sig = graft.text.Repetition
+        .addSignals(read(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+      graft.text.Repetition
+        .addGopherFlags(sig, "text", minWords = 20, minMeanWordLen = 4.0,
+          maxDupUnitFraction = 0.6)
+        .select(
+          col("doc_id"),
+          col("word_count").cast("long").as("word_count"),
+          col("mean_word_len"),
+          col("alpha_word_fraction"),
+          col("dup_unit_fraction"),
+          col("top_ngram_char_fraction"),
+          col("words_ok").cast("long").as("words_ok"),
+          col("word_len_ok").cast("long").as("word_len_ok"),
+          col("alpha_ok").cast("long").as("alpha_ok"),
+          col("dup_unit_ok").cast("long").as("dup_unit_ok"),
+          col("top_ngram_ok").cast("long").as("top_ngram_ok"),
+          col("passes").cast("long").as("passes"))
+    }),
+
     // ---- J1: nearest-neighbor enrichment join (broadcast dim, argmin)
     "q_nn_enrich" -> ((s, dir) => {
       // dim: per event_type avg value (5 rows); each supplier gets the
@@ -1355,6 +1401,29 @@ object SparkEntry {
         |  SELECT doc_id, pos,
         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
         |  FROM brk)""".stripMargin
+
+    // shared CTEs for the intra-doc repetition oracles: lowercased
+    // trim-filtered units, per-doc unit counts/chars, positional
+    // 2-grams, and the window positions whose 2-gram repeats within
+    // the same document (Repetition.addSignals replay)
+    val repCtes =
+      """WITH rtoks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split_regex(lower(text), '\s+'), x -> trim(x)), x -> x <> '') AS tk
+        |  FROM documents),
+        |rbase AS (
+        |  SELECT doc_id, text, tk, len(tk) AS t, len(list_distinct(tk)) AS d,
+        |    coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS tot_chars
+        |  FROM rtoks),
+        |rgr AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(1, len(tk) - 1)) - 1 AS pos,
+        |    unnest(list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1])) AS gram
+        |  FROM rtoks WHERE len(tk) >= 2),
+        |rgc AS (SELECT doc_id, gram, count(*) AS cnt FROM rgr GROUP BY 1, 2),
+        |rflag AS (
+        |  SELECT g.doc_id, g.pos FROM rgr g
+        |  JOIN rgc c ON c.doc_id = g.doc_id AND c.gram = g.gram AND c.cnt >= 2)""".stripMargin
 
     Map(
       "q_agg_pricing" ->
@@ -2238,7 +2307,68 @@ object SparkEntry {
            |FROM (SELECT doc_id, text,
            |  CASE WHEN len(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count,
            |  $best AS best FROM documents)""".stripMargin
-      }
+      },
+      // intra-doc repetition signals: dup-unit counts/chars from unit
+      // occurrence counts, most-chars 2-gram (count x gram length),
+      // and the union-cover of repeated 2-gram windows (each flagged
+      // window at pos covers units pos and pos+1)
+      "q_repetition" ->
+        s"""$repCtes,
+           |rdup AS (
+           |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN len(u) * cnt ELSE 0 END) AS dup_chars
+           |  FROM (SELECT doc_id, u, count(*) AS cnt
+           |        FROM (SELECT doc_id, unnest(tk) AS u FROM rtoks) GROUP BY 1, 2)
+           |  GROUP BY doc_id),
+           |rtop AS (SELECT doc_id, max(cnt * len(gram)) AS best FROM rgc GROUP BY doc_id),
+           |rnp AS (SELECT doc_id, count(*) AS np FROM rflag GROUP BY doc_id),
+           |rcov AS (
+           |  SELECT doc_id, count(DISTINCT j) AS covered FROM (
+           |    SELECT doc_id, pos AS j FROM rflag
+           |    UNION ALL SELECT doc_id, pos + 1 AS j FROM rflag)
+           |  GROUP BY doc_id)
+           |SELECT b.doc_id,
+           |  CAST(b.t AS BIGINT) AS n_units,
+           |  CAST(b.d AS BIGINT) AS n_distinct_units,
+           |  CASE WHEN b.t > 0 THEN round((b.t - b.d) / b.t, 6) ELSE 0.0 END AS dup_unit_fraction,
+           |  CASE WHEN b.tot_chars > 0 THEN round(coalesce(dc.dup_chars, 0) / b.tot_chars, 6) ELSE 0.0 END AS dup_unit_char_fraction,
+           |  CASE WHEN b.t >= 2 THEN round(coalesce(tp.best, 0) / greatest(len(b.text), 1), 6) ELSE 0.0 END AS top_ngram_char_fraction,
+           |  CAST(coalesce(np.np, 0) AS BIGINT) AS dup_ngram_positions,
+           |  CAST(CASE WHEN b.t >= 2 THEN coalesce(cv.covered, 0) ELSE 0 END AS BIGINT) AS covered_units,
+           |  CASE WHEN b.t > 0 THEN round(CAST(CASE WHEN b.t >= 2 THEN coalesce(cv.covered, 0) ELSE 0 END AS DOUBLE) / b.t, 6) ELSE 0.0 END AS dup_ngram_unit_fraction
+           |FROM rbase b
+           |LEFT JOIN rdup dc USING (doc_id)
+           |LEFT JOIN rtop tp USING (doc_id)
+           |LEFT JOIN rnp np USING (doc_id)
+           |LEFT JOIN rcov cv USING (doc_id)""".stripMargin,
+      // Gopher-rule filter over the same signals; flags replayed as
+      // 0/1 BIGINT on the rounded values (threshold comparisons are
+      // on round(.,6) outputs on BOTH engines, so boundary docs agree)
+      "q_gopher_filter" ->
+        s"""$repCtes,
+           |rtop AS (SELECT doc_id, max(cnt * len(gram)) AS best FROM rgc GROUP BY doc_id),
+           |ralpha AS (
+           |  SELECT doc_id, len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha FROM rtoks),
+           |sig AS (
+           |  SELECT b.doc_id, b.t,
+           |    CASE WHEN b.t > 0 THEN round(b.tot_chars / b.t, 6) ELSE 0.0 END AS mean_word_len,
+           |    CASE WHEN b.t > 0 THEN round(a.alpha / b.t, 6) ELSE 0.0 END AS alpha_word_fraction,
+           |    CASE WHEN b.t > 0 THEN round((b.t - b.d) / b.t, 6) ELSE 0.0 END AS dup_unit_fraction,
+           |    CASE WHEN b.t >= 2 THEN round(coalesce(tp.best, 0) / greatest(len(b.text), 1), 6) ELSE 0.0 END AS top_ngram_char_fraction
+           |  FROM rbase b
+           |  LEFT JOIN rtop tp USING (doc_id)
+           |  LEFT JOIN ralpha a USING (doc_id))
+           |SELECT doc_id,
+           |  CAST(t AS BIGINT) AS word_count,
+           |  mean_word_len, alpha_word_fraction, dup_unit_fraction, top_ngram_char_fraction,
+           |  CAST(CASE WHEN t BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS words_ok,
+           |  CAST(CASE WHEN mean_word_len BETWEEN 4.0 AND 10.0 THEN 1 ELSE 0 END AS BIGINT) AS word_len_ok,
+           |  CAST(CASE WHEN alpha_word_fraction >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
+           |  CAST(CASE WHEN dup_unit_fraction <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS dup_unit_ok,
+           |  CAST(CASE WHEN top_ngram_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS top_ngram_ok,
+           |  CAST(CASE WHEN t BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 4.0 AND 10.0
+           |    AND alpha_word_fraction >= 0.8 AND dup_unit_fraction <= 0.6
+           |    AND top_ngram_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS passes
+           |FROM sig""".stripMargin
     )
   }
 }

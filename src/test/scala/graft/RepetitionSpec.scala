@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.text.Repetition
+
+class RepetitionSpec extends SparkSpec {
+
+  private def signalsOf(text: String, topN: Int = 2, coverN: Int = 2, sep: String = "\\s+") = {
+    import spark.implicits._
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    Repetition
+      .addSignals(df, "text", topN, coverN, sep)
+      .select(
+        "n_units", "n_distinct_units", "dup_unit_fraction", "dup_unit_char_fraction",
+        "top_ngram_char_fraction", "dup_ngram_positions", "covered_units",
+        "dup_ngram_unit_fraction")
+      .as[(Int, Int, Double, Double, Double, Int, Int, Double)]
+      .head()
+  }
+
+  test("addSignals: hand-computed tiny document") {
+    // units [a, a, a, b]; 2-grams [a a, a a, a b]
+    val s = signalsOf("a a a b")
+    assert(s._1 == 4 && s._2 == 2)
+    assert(s._3 == 0.5) // (4-2)/4
+    assert(s._4 == 0.75) // 3 chars of 'a' over 4 unit chars
+    // top 2-gram: "a a" count 2 x len 3 = 6 chars over text len 7
+    assert(s._5 == math.round(6.0 / 7.0 * 1e6) / 1e6)
+    assert(s._6 == 2) // two "a a" windows
+    assert(s._7 == 3) // tokens 0,1,2 covered; trailing b not
+    assert(s._8 == 0.75)
+  }
+
+  test("addSignals: no repetition, sub-n and empty docs profile as zeros") {
+    val uniq = signalsOf("alpha beta gamma")
+    assert(uniq._3 == 0.0 && uniq._4 == 0.0 && uniq._6 == 0 && uniq._8 == 0.0)
+    // top gram still counts a single occurrence: "alpha beta" = 10 chars / 16
+    assert(uniq._5 == math.round(10.0 / 16.0 * 1e6) / 1e6)
+    val one = signalsOf("single")
+    assert(one._1 == 1 && one._5 == 0.0 && one._8 == 0.0)
+    val empty = signalsOf("   ")
+    assert(empty._1 == 0 && empty._3 == 0.0 && empty._5 == 0.0)
+  }
+
+  test("addSignals: null text profiles as an empty document") {
+    import spark.implicits._
+    val df = Seq((1L, null: String)).toDF("doc_id", "text")
+    val r = Repetition.addSignals(df, "text")
+      .select("n_units", "dup_unit_fraction", "covered_units")
+      .as[(Int, Double, Int)].head()
+    assert(r == ((0, 0.0, 0)))
+  }
+
+  test("addSignals: line mode (unitSep = \\n) trims and lowercases lines") {
+    val s = signalsOf("Hello World\nhello world \nbye", sep = "\n")
+    assert(s._1 == 3 && s._2 == 2)
+    assert(s._3 == math.round(1.0 / 3.0 * 1e6) / 1e6)
+    // dup chars: "hello world" x2 = 22 over 22 + 3
+    assert(s._4 == math.round(22.0 / 25.0 * 1e6) / 1e6)
+  }
+
+  test("addSignals: equals a brute-force local oracle on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val docs = (0L until 120L).map { i =>
+      val n = rnd.nextInt(14) // 0..13 tokens, many collisions at this vocab
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val got = Repetition
+      .addSignals(docs.toDF("doc_id", "text"), "text", topN = 2, coverN = 3)
+      .select(
+        "doc_id", "n_units", "n_distinct_units", "dup_unit_fraction",
+        "dup_unit_char_fraction", "top_ngram_char_fraction", "dup_ngram_positions",
+        "covered_units", "dup_ngram_unit_fraction")
+      .as[(Long, Int, Int, Double, Double, Double, Int, Int, Double)]
+      .collect().sortBy(_._1)
+
+    def r6(x: Double): Double = math.round(x * 1e6) / 1e6
+    val want = docs.map { case (id, text) =>
+      val u = text.toLowerCase.split("\\s+").map(_.trim).filter(_.nonEmpty)
+      val t = u.length
+      val d = u.distinct.length
+      val totChars = u.map(_.length).sum
+      val wc = u.groupBy(identity).map { case (w, g) => (w, g.length) }
+      val dupChars = wc.collect { case (w, c) if c >= 2 => c * w.length }.sum
+      val g2 = u.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toVector
+      val topChars =
+        if (t >= 2) g2.groupBy(identity).map { case (g, o) => o.length * g.length }.max else 0
+      val g3 = u.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toVector
+      val cnt3 = g3.groupBy(identity).map { case (g, o) => (g, o.length) }
+      val dupPos = g3.zipWithIndex.collect { case (g, i) if cnt3(g) >= 2 => i }
+      val covered = (0 until t).count(j => dupPos.exists(i => i <= j && j <= i + 2))
+      (id, t, d,
+        if (t > 0) r6((t - d).toDouble / t) else 0.0,
+        if (totChars > 0) r6(dupChars.toDouble / totChars) else 0.0,
+        if (t >= 2) r6(topChars.toDouble / math.max(text.length, 1)) else 0.0,
+        dupPos.length, covered,
+        if (t > 0) r6(covered.toDouble / t) else 0.0)
+    }.sortBy(_._1)
+    assert(got.toSeq == want)
+    // non-vacuity: the corpus exercises both zero and non-zero covers
+    assert(want.exists(_._7 > 0) && want.exists(w => w._2 > 0 && w._7 == 0))
+  }
+
+  test("addGopherFlags: rules flag and conjunction; thresholds split") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (3L, "1 2 3 4 5 6 7 8 9 10 11 12 13")
+    ).toDF("doc_id", "text")
+    val flagged = Repetition.addGopherFlags(
+      Repetition.addSignals(df, "text"), "text",
+      minWords = 10, maxWords = 100, minMeanWordLen = 2.0, maxMeanWordLen = 10.0,
+      minAlphaWordFraction = 0.8, maxDupUnitFraction = 0.5, maxTopNgramCharFraction = 0.5)
+    val rows = flagged
+      .select("doc_id", "words_ok", "word_len_ok", "alpha_ok", "dup_unit_ok", "top_ngram_ok", "passes")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
+    assert(rows(0) == ((1L, true, true, true, true, true, true)))
+    assert(rows(1)._5 == false && rows(1)._7 == false) // all-spam: dup fraction fails
+    assert(rows(2)._4 == false && rows(2)._7 == false) // digits: alpha fraction fails
+    // passes is exactly the conjunction
+    rows.foreach(r => assert(r._7 == (r._2 && r._3 && r._4 && r._5 && r._6)))
+  }
+}
