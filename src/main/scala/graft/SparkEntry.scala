@@ -478,6 +478,28 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // ---- q_curate plus the Gopher repetition-rule stage: the same
+    //      chain with Repetition.gopherPasses fused into the quality
+    //      filter (thresholds = the tuned q_gopher_filter set). The
+    //      gopher rules bite beyond the token floor (dup-unit and
+    //      mean-word-len caps remove docs the floor keeps), so the
+    //      survivor set differs from q_curate non-vacuously.
+    "q_curate_gopher" -> ((s, dir) => {
+      val docs = read(s, dir, "documents")
+      Curation.curate(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0).select(col("doc_id"), col("text"), col("lang")),
+        docs.where(col("doc_id") % 20 === 0).select(col("text")),
+        "doc_id", "text", "lang", "text",
+        minTokens = 20,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1,
+        shingleN = 6,
+        gopher = Some(Curation.GopherRules(minWords = 20, minMeanWordLen = 4.0,
+          maxDupUnitFraction = 0.6)))
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // ---- the full-recipe curation chain: exact dedup -> EXACT-Jaccard
     //      near-dup survivors (recall-complete prefix-filtered pair
     //      join, smaller-id-wins) -> 6-gram decontamination ->
@@ -1425,6 +1447,67 @@ object SparkEntry {
         |  SELECT g.doc_id, g.pos FROM rgr g
         |  JOIN rgc c ON c.doc_id = g.doc_id AND c.gram = g.gram AND c.cnt >= 2)""".stripMargin
 
+    // shared Gopher-signal CTEs over repCtes' bases plus the rule
+    // conjunction — q_gopher_filter projects the per-rule flags,
+    // q_curate_gopher filters the curation chain on the conjunction;
+    // one definition keeps the thresholds in lockstep
+    val gopherSigCtes =
+      """rtop AS (SELECT doc_id, max(cnt * len(gram)) AS best FROM rgc GROUP BY doc_id),
+        |ralpha AS (
+        |  SELECT doc_id, len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha FROM rtoks),
+        |sig AS (
+        |  SELECT b.doc_id, b.t,
+        |    CASE WHEN b.t > 0 THEN round(b.tot_chars / b.t, 6) ELSE 0.0 END AS mean_word_len,
+        |    CASE WHEN b.t > 0 THEN round(a.alpha / b.t, 6) ELSE 0.0 END AS alpha_word_fraction,
+        |    CASE WHEN b.t > 0 THEN round((b.t - b.d) / b.t, 6) ELSE 0.0 END AS dup_unit_fraction,
+        |    CASE WHEN b.t >= 2 THEN round(coalesce(tp.best, 0) / greatest(len(b.text), 1), 6) ELSE 0.0 END AS top_ngram_char_fraction
+        |  FROM rbase b
+        |  LEFT JOIN rtop tp USING (doc_id)
+        |  LEFT JOIN ralpha a USING (doc_id))""".stripMargin
+    val gopherPassPred =
+      """t BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 4.0 AND 10.0
+        |    AND alpha_word_fraction >= 0.8 AND dup_unit_fraction <= 0.6
+        |    AND top_ngram_char_fraction <= 0.2""".stripMargin
+
+    // THE q_curate stage chain (corpus split, normalized dedup, 6-gram
+    // eval flagging, token floor) — q_curate and q_curate_gopher
+    // interpolate this one definition; the final two-residue sample
+    // predicate is shared alongside
+    val curateBaseCtes =
+      """corpus AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
+        |normed AS (
+        |  SELECT doc_id, text, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM corpus),
+        |dedup AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        |    FROM normed) WHERE rn = 1),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(
+        |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
+        |         ELSE list_transform(generate_series(1, len(tk) - 5), i -> array_to_string(tk[i:i+5], ' '))
+        |    END) AS gram
+        |  FROM toks),
+        |egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
+        |flagged AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0),
+        |clean AS (
+        |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |qual AS (
+        |  SELECT * FROM clean
+        |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)""".stripMargin
+    val curateSamplePred =
+      """(((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+        |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+        |      % 2147483647 / 2147483647.0 <
+        |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin
+
     Map(
       "q_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1729,39 +1812,21 @@ object SparkEntry {
       // golden-ratio sample are the SAME SQL fragments the standalone
       // stage oracles use
       "q_curate" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
-          |normed AS (
-          |  SELECT doc_id, text, lang,
-          |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm
-          |  FROM corpus),
-          |dedup AS (
-          |  SELECT doc_id, text, lang FROM (
-          |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
-          |    FROM normed) WHERE rn = 1),
-          |toks AS (
-          |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-          |  FROM documents),
-          |grams AS (
-          |  SELECT doc_id, unnest(
-          |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
-          |         ELSE list_transform(generate_series(1, len(tk) - 5), i -> array_to_string(tk[i:i+5], ' '))
-          |    END) AS gram
-          |  FROM toks),
-          |egrams AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 20 = 0),
-          |flagged AS (
-          |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0),
-          |clean AS (
-          |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-          |qual AS (
-          |  SELECT * FROM clean
-          |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
-          |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)
-          |SELECT doc_id, lang FROM qual
-          |WHERE (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
-          |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
-          |      % 2147483647 / 2147483647.0 <
-          |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin,
+        s"""WITH $curateBaseCtes
+           |SELECT doc_id, lang FROM qual
+           |WHERE $curateSamplePred""".stripMargin,
+      // q_curate's chain with the Gopher repetition-rule stage fused
+      // into the quality filter: the pass set is the shared sig CTEs'
+      // conjunction (same thresholds as q_gopher_filter), intersected
+      // before the sample predicate
+      "q_curate_gopher" ->
+        s"""$repCtes,
+           |$gopherSigCtes,
+           |gpass AS (SELECT doc_id FROM sig WHERE $gopherPassPred),
+           |$curateBaseCtes
+           |SELECT doc_id, lang FROM qual
+           |WHERE doc_id IN (SELECT doc_id FROM gpass)
+           |  AND $curateSamplePred""".stripMargin,
       // the near-dup curation chain replayed stage-for-stage: the clip
       // corpus, the dedup window, the exact-Jaccard dominated set
       // (q_neardup_survivors' replay), the 6-gram flagging, the
@@ -2345,18 +2410,7 @@ object SparkEntry {
       // on round(.,6) outputs on BOTH engines, so boundary docs agree)
       "q_gopher_filter" ->
         s"""$repCtes,
-           |rtop AS (SELECT doc_id, max(cnt * len(gram)) AS best FROM rgc GROUP BY doc_id),
-           |ralpha AS (
-           |  SELECT doc_id, len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS alpha FROM rtoks),
-           |sig AS (
-           |  SELECT b.doc_id, b.t,
-           |    CASE WHEN b.t > 0 THEN round(b.tot_chars / b.t, 6) ELSE 0.0 END AS mean_word_len,
-           |    CASE WHEN b.t > 0 THEN round(a.alpha / b.t, 6) ELSE 0.0 END AS alpha_word_fraction,
-           |    CASE WHEN b.t > 0 THEN round((b.t - b.d) / b.t, 6) ELSE 0.0 END AS dup_unit_fraction,
-           |    CASE WHEN b.t >= 2 THEN round(coalesce(tp.best, 0) / greatest(len(b.text), 1), 6) ELSE 0.0 END AS top_ngram_char_fraction
-           |  FROM rbase b
-           |  LEFT JOIN rtop tp USING (doc_id)
-           |  LEFT JOIN ralpha a USING (doc_id))
+           |$gopherSigCtes
            |SELECT doc_id,
            |  CAST(t AS BIGINT) AS word_count,
            |  mean_word_len, alpha_word_fraction, dup_unit_fraction, top_ngram_char_fraction,
@@ -2365,9 +2419,7 @@ object SparkEntry {
            |  CAST(CASE WHEN alpha_word_fraction >= 0.8 THEN 1 ELSE 0 END AS BIGINT) AS alpha_ok,
            |  CAST(CASE WHEN dup_unit_fraction <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS dup_unit_ok,
            |  CAST(CASE WHEN top_ngram_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS top_ngram_ok,
-           |  CAST(CASE WHEN t BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 4.0 AND 10.0
-           |    AND alpha_word_fraction >= 0.8 AND dup_unit_fraction <= 0.6
-           |    AND top_ngram_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS passes
+           |  CAST(CASE WHEN $gopherPassPred THEN 1 ELSE 0 END AS BIGINT) AS passes
            |FROM sig""".stripMargin
     )
   }

@@ -28,8 +28,9 @@ import graft.text.TextOps
   *      Jaccard low),
   *   4. benchmark decontamination (broadcast eval grams; corpus text
   *      never shuffles),
-  *   5. quality floor (pure column predicates — a token-count minimum
-  *      and/or the composite [[TextOps.qualityScore]]),
+  *   5. quality floor (pure column predicates — a token-count minimum,
+  *      the composite [[TextOps.qualityScore]], and/or the Gopher
+  *      repetition rules via [[graft.text.Repetition.gopherPasses]]),
   *   6. deterministic stratified sampling (a pure scan-side predicate
   *      on the two-residue id-hash — the mix step).
   *
@@ -94,6 +95,21 @@ object Curation {
     case object CutSpans extends SpanAction
   }
 
+  /** Thresholds for the optional Gopher repetition-rule stage
+    * ([[graft.text.Repetition.gopherPasses]]) — intra-document quality
+    * rules (word count/shape, duplicated-unit and top-n-gram caps)
+    * applied alongside the token/quality floor as one fused scan-side
+    * predicate. Defaults mirror `Repetition.addGopherFlags`.
+    */
+  final case class GopherRules(
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaWordFraction: Double = 0.8,
+      maxDupUnitFraction: Double = 0.5,
+      maxTopNgramCharFraction: Double = 0.2)
+
   /** The chain with its stage plans exposed (all lazy DataFrames —
     * nothing is computed until a consumer acts): lets a driver write
     * the SAME contamination report / span profile / near-dup pair
@@ -130,7 +146,8 @@ object Curation {
       maxDupFraction: Option[Double] = None,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
-      spanAction: SpanAction = SpanAction.DropDocs
+      spanAction: SpanAction = SpanAction.DropDocs,
+      gopher: Option[GopherRules] = None
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val nearDupPairs = nearDup match {
@@ -169,9 +186,22 @@ object Curation {
     val report = Decontam
       .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
     val cleaned = afterSpans.join(report.select(col(idCol)), Seq(idCol), "left_anti")
-    val qualified = qualityFloor.foldLeft(
+    val qualified0 = qualityFloor.foldLeft(
       cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
     ) { (df, floor) => df.where(TextOps.qualityScore(col(textCol)) >= floor) }
+    // the Gopher repetition rules fuse into the same codegen'd filter
+    // as the floors above — intra-doc signals, zero added shuffle;
+    // applied AFTER span surgery so the rules judge the text that
+    // would actually ship
+    val qualified = gopher.foldLeft(qualified0) { (df, r) =>
+      df.where(graft.text.Repetition.gopherPasses(
+        col(textCol),
+        minWords = r.minWords, maxWords = r.maxWords,
+        minMeanWordLen = r.minMeanWordLen, maxMeanWordLen = r.maxMeanWordLen,
+        minAlphaWordFraction = r.minAlphaWordFraction,
+        maxDupUnitFraction = r.maxDupUnitFraction,
+        maxTopNgramCharFraction = r.maxTopNgramCharFraction))
+    }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
     Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
       cleaned, qualified, sampled)
@@ -194,9 +224,10 @@ object Curation {
       maxDupFraction: Option[Double] = None,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
-      spanAction: SpanAction = SpanAction.DropDocs
+      spanAction: SpanAction = SpanAction.DropDocs,
+      gopher: Option[GopherRules] = None
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
-      maxDupFraction, spanShingleN, spanMinDf, spanAction).sampled
+      maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher).sampled
 }

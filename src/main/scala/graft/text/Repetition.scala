@@ -60,6 +60,17 @@ object Repetition {
       },
       s => s.getField("acc"))
 
+  /** Space-joined positional n-grams of a unit array (empty below n). */
+  private def ngrams(u: Column, n: Int): Column =
+    if (n == 1) u
+    else
+      when(
+        size(u) >= n,
+        transform(
+          sequence(lit(0), size(u) - n),
+          i => concat_ws(" ", slice(u, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+
   /** Max over equal-runs of a SORTED array of (run length ×
     * element chars) — the "most characters occupied by one repeated
     * value" statistic, one linear `aggregate`.
@@ -109,16 +120,6 @@ object Repetition {
     val cU = fresh(names, "_rep_u")
     val cG = fresh(names + cU, "_rep_g")
     val cF = fresh(names + cU + cG, "_rep_f")
-
-    def ngrams(u: Column, n: Int): Column =
-      if (n == 1) u
-      else
-        when(
-          size(u) >= n,
-          transform(
-            sequence(lit(0), size(u) - n),
-            i => concat_ws(" ", slice(u, i + 1, lit(n)))))
-          .otherwise(array().cast("array<string>"))
 
     val u = col(cU)
     val t = size(u)
@@ -219,4 +220,59 @@ object Repetition {
           col("dup_unit_ok") && col("top_ngram_ok"))
       .drop(cU)
   }
+
+  /** The whole Gopher rule conjunction as ONE predicate Column — the
+    * form a curation pipeline filters with (`df.where(gopherPasses(
+    * col("text")))`): no added columns to drop, fuses with neighboring
+    * predicates into one filter over the scan, zero shuffle. The unit
+    * array is tokenized ONCE per row (the conjunction is built inside
+    * a `transform` lambda over a one-element array — a let-binding,
+    * since Spark's subexpression elimination does not deduplicate
+    * higher-order-function subtrees). Thresholds compare the same
+    * `round(·, 6)` signal values [[addSignals]]/[[addGopherFlags]]
+    * emit, so a doc passes here iff its `passes` flag is true (pinned
+    * by spec on a random corpus).
+    */
+  def gopherPasses(
+      text: Column,
+      topN: Int = 2,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaWordFraction: Double = 0.8,
+      maxDupUnitFraction: Double = 0.5,
+      maxTopNgramCharFraction: Double = 0.2,
+      unitSep: String = "\\s+"
+  ): Column =
+    element_at(
+      transform(
+        array(units(text, unitSep)),
+        u => {
+          val t = size(u)
+          val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
+          val meanLen =
+            when(t > 0, round(totChars.cast("double") / t, 6)).otherwise(lit(0.0))
+          val alphaFrac = when(
+            t > 0,
+            round(size(filter(u, w => w.rlike("[a-z]"))).cast("double") / t, 6))
+            .otherwise(lit(0.0))
+          val dupFrac = when(
+            t > 0,
+            round((t - size(array_distinct(u))).cast("double") / t, 6))
+            .otherwise(lit(0.0))
+          val topFrac = when(
+            t >= topN,
+            round(
+              topRunChars(array_sort(ngrams(u, topN))).cast("double") /
+                greatest(length(text), lit(1)),
+              6))
+            .otherwise(lit(0.0))
+          t.between(minWords, maxWords) &&
+            meanLen.between(minMeanWordLen, maxMeanWordLen) &&
+            alphaFrac >= minAlphaWordFraction &&
+            dupFrac <= maxDupUnitFraction &&
+            topFrac <= maxTopNgramCharFraction
+        }),
+      lit(1))
 }

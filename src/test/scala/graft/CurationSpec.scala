@@ -67,6 +67,35 @@ class CurationSpec extends SparkSpec {
     assert(again == survivors)
   }
 
+  test("curate: gopher stage removes repetition-heavy docs the token floor keeps") {
+    import spark.implicits._
+    import graft.text.Repetition
+    val all = spark.read.parquet(docs)
+    val corpus = all.where(col("doc_id") % 20 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val eval = all.where(col("doc_id") % 20 === 0).select(col("text"))
+    val rates = Map("en" -> 0.5, "zh" -> 0.25)
+    val rules = Curation.GopherRules(
+      minWords = 20, minMeanWordLen = 4.0, maxDupUnitFraction = 0.6)
+    val base = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 20, rates, 0.1,
+        shingleN = 6)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val gated = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 20, rates, 0.1,
+        shingleN = 6, gopher = Some(rules))
+      .select(col("doc_id")).as[Long].collect().toSet
+    // the gopher stage only removes — and removes exactly the docs
+    // failing the fused predicate (non-vacuous both ways)
+    assert(gated.subsetOf(base) && gated.size < base.size && gated.nonEmpty)
+    val passing = corpus
+      .where(Repetition.gopherPasses(col("text"),
+        minWords = rules.minWords, minMeanWordLen = rules.minMeanWordLen,
+        maxDupUnitFraction = rules.maxDupUnitFraction))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gated == base.intersect(passing))
+  }
+
   test("curate: near-dup stage removes dominated clips; composite quality floor holds") {
     import spark.implicits._
     val all = spark.read.parquet(docs)

@@ -124,4 +124,38 @@ class RepetitionSpec extends SparkSpec {
     // passes is exactly the conjunction
     rows.foreach(r => assert(r._7 == (r._2 && r._3 && r._4 && r._5 && r._6)))
   }
+
+  test("gopherPasses: the fused predicate equals addGopherFlags' passes column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    // mix clean docs (large vocab of alpha words) with spammy ones
+    // (tiny vocab, short/digit words) so every rule decides both ways
+    val clean = Vector.tabulate(200)(i => s"wd${i}x") // 4-6 chars, alpha
+    val spam = Vector("a", "bb", "12", "spam")
+    val corpus = (0L until 150L).map { i =>
+      val vocab = if (i % 3 == 0) spam else clean
+      val n = rnd.nextInt(30)
+      (i, (0 until n).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    } :+ (150L, null.asInstanceOf[String]) :+ (151L, "   ")
+    val df = corpus.toDF("doc_id", "text")
+    // two threshold sets so every rule decides for some doc
+    for ((mw, mlen, mdup, mtop) <- Seq((5, 2.0, 0.4, 0.3), (10, 3.0, 0.6, 0.15))) {
+      val viaFlags = Repetition
+        .addGopherFlags(
+          Repetition.addSignals(df, "text"), "text",
+          minWords = mw, minMeanWordLen = mlen,
+          maxDupUnitFraction = mdup, maxTopNgramCharFraction = mtop)
+        .select(col("doc_id"), col("passes"))
+        .as[(Long, Boolean)].collect().toMap
+      val viaPred = df
+        .select(col("doc_id"),
+          Repetition.gopherPasses(col("text"),
+            minWords = mw, minMeanWordLen = mlen,
+            maxDupUnitFraction = mdup, maxTopNgramCharFraction = mtop).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(viaFlags == viaPred)
+      // the comparison is non-vacuous both ways
+      assert(viaFlags.values.exists(identity) && viaFlags.values.exists(!_))
+    }
+  }
 }
