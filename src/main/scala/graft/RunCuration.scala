@@ -19,6 +19,7 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   *     [--min-tokens N] [--quality-floor F] \
   *     [--neardup exact:<t>[:<shingleN>] | lsh:<t>[:<shingleN>[:<bands>:<rows>]]] \
   *     [--max-dup-fraction F] [--span-action drop|cut] \
+  *     [--gopher default | k=v[,k=v...]] \
   *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
   *     [--rates en=0.5,zh=0.25] [--default-rate F] [--redact] \
   *     [--buckets N] [--fresh]
@@ -49,6 +50,7 @@ object RunCuration {
       nearDup: NearDupStage = NearDupStage.Off,
       maxDupFraction: Option[Double] = None,
       spanAction: SpanAction = SpanAction.DropDocs,
+      gopher: Option[Curation.GopherRules] = None,
       shingleN: Int = 13,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
@@ -97,6 +99,33 @@ object RunCuration {
     case _ => throw new IllegalArgumentException(s"--span-action expects drop | cut, got '$v'")
   }
 
+  /** `default` for the stock thresholds, or `k=v[,k=v...]` overriding
+    * them (keys: min-words, max-words, min-mean-word-len,
+    * max-mean-word-len, min-alpha-fraction, max-dup-unit-fraction,
+    * max-top-ngram-fraction); unknown keys fail fast.
+    */
+  def parseGopher(v: String): Curation.GopherRules =
+    if (v == "default") Curation.GopherRules()
+    else
+      v.split(",").filter(_.nonEmpty).foldLeft(Curation.GopherRules()) { (r, kv) =>
+        kv.split("=", 2) match {
+          case Array("min-words", x) => r.copy(minWords = numI("--gopher min-words", x))
+          case Array("max-words", x) => r.copy(maxWords = numI("--gopher max-words", x))
+          case Array("min-mean-word-len", x) =>
+            r.copy(minMeanWordLen = numD("--gopher min-mean-word-len", x))
+          case Array("max-mean-word-len", x) =>
+            r.copy(maxMeanWordLen = numD("--gopher max-mean-word-len", x))
+          case Array("min-alpha-fraction", x) =>
+            r.copy(minAlphaWordFraction = numD("--gopher min-alpha-fraction", x))
+          case Array("max-dup-unit-fraction", x) =>
+            r.copy(maxDupUnitFraction = numD("--gopher max-dup-unit-fraction", x))
+          case Array("max-top-ngram-fraction", x) =>
+            r.copy(maxTopNgramCharFraction = numD("--gopher max-top-ngram-fraction", x))
+          case _ => throw new IllegalArgumentException(
+            s"--gopher expects default | k=v[,k=v...] with known keys, got '$kv'")
+        }
+      }
+
   def parseRates(v: String): Map[String, Double] =
     v.split(",").filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
@@ -120,6 +149,7 @@ object RunCuration {
     case "--max-dup-fraction" :: v :: rest =>
       parse(rest, acc.copy(maxDupFraction = Some(numD("--max-dup-fraction", v))))
     case "--span-action" :: v :: rest => parse(rest, acc.copy(spanAction = parseSpanAction(v)))
+    case "--gopher" :: v :: rest => parse(rest, acc.copy(gopher = Some(parseGopher(v))))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
@@ -149,7 +179,7 @@ object RunCuration {
       s"strataCol=${a.strataCol}", s"evalTextCol=${a.evalTextCol}",
       s"minTokens=${a.minTokens}", s"qualityFloor=${a.qualityFloor}",
       s"nearDup=${a.nearDup}", s"maxDupFraction=${a.maxDupFraction}",
-      s"spanAction=${a.spanAction}", s"shingleN=${a.shingleN}",
+      s"spanAction=${a.spanAction}", s"gopher=${a.gopher}", s"shingleN=${a.shingleN}",
       s"spanShingleN=${a.spanShingleN}", s"spanMinDf=${a.spanMinDf}",
       s"rates=$rates", s"defaultRate=${a.defaultRate}", s"redact=${a.redact}",
       s"buckets=${a.buckets}"
@@ -215,7 +245,7 @@ object RunCuration {
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
       a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf,
-      a.spanAction)
+      a.spanAction, a.gopher)
     // several writes + count/audit aggregations consume the staged
     // plans; without pinning, EACH action would replay the dedup +
     // near-dup pair join (the dominant cost) from scratch. Persist the

@@ -163,6 +163,11 @@ class CurationSpec extends SparkSpec {
       Curation.NearDupStage.MinHashLsh(0.6, 5, 24, 2))
     assert(RunCuration.parseSpanAction("cut") == Curation.SpanAction.CutSpans)
     intercept[IllegalArgumentException](RunCuration.parseNearDup("lsh:0.6:5:24"))
+    // --gopher grammar: default thresholds or k=v overrides
+    assert(RunCuration.parseGopher("default") == Curation.GopherRules())
+    assert(RunCuration.parseGopher("min-words=20,max-dup-unit-fraction=0.6") ==
+      Curation.GopherRules(minWords = 20, maxDupUnitFraction = 0.6))
+    intercept[IllegalArgumentException](RunCuration.parseGopher("bogus-key=1"))
     val (in, outN) = RunCuration.run(spark, corpus, eval, args)
     assert(in == corpus.count() && outN > 0 && outN < in)
     // partitioned layout + curated ids are a subset of the corpus
