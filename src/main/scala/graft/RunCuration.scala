@@ -11,8 +11,9 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   * corpus + held-out eval slice -> curated corpus parquet, plus the
   * audit tables a data owner wants next to the mix (the contamination
   * report, the per-doc span profile when the boilerplate stage is on,
-  * the near-dup pair/cluster tables when that stage is on, and the
-  * pre/post PII counts when redaction is on).
+  * the near-dup pair/cluster tables when that stage is on, the
+  * per-rule gopher flag counts when the repetition-rule stage is on,
+  * and the pre/post PII counts when redaction is on).
   *
   *   spark-submit --class graft.RunCuration <jar> \
   *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
@@ -288,6 +289,27 @@ object RunCuration {
         graft.dedup.Dedup
           .nearDupClusters(spark, staged.deduped.select(col(a.idCol)), pairs, a.idCol)
           .write.mode("overwrite").parquet(s"${a.out}/neardup_clusters")
+      }
+      a.gopher.zip(staged.gopherEvaluated).foreach { case (r, evaluated) =>
+        // per-rule pass counts over the exact corpus the gopher stage
+        // thresholded — which rules bit, and how hard, at these
+        // thresholds (one aggregation row; n_passes is the stage's
+        // survivor count)
+        val flagged = graft.text.Repetition.addGopherFlags(
+          graft.text.Repetition.addSignals(
+            evaluated.select(col(a.idCol), col(a.textCol)), a.textCol),
+          a.textCol,
+          minWords = r.minWords, maxWords = r.maxWords,
+          minMeanWordLen = r.minMeanWordLen, maxMeanWordLen = r.maxMeanWordLen,
+          minAlphaWordFraction = r.minAlphaWordFraction,
+          maxDupUnitFraction = r.maxDupUnitFraction,
+          maxTopNgramCharFraction = r.maxTopNgramCharFraction)
+        def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+        flagged
+          .agg(count(lit(1)).as("n_evaluated"), cnt("words_ok"), cnt("word_len_ok"),
+            cnt("alpha_ok"), cnt("dup_unit_ok"), cnt("top_ngram_ok"), cnt("passes"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"${a.out}/gopher_report")
       }
       if (a.redact) {
         // pre/post scrub counts per PII type over the SHIPPED mix —

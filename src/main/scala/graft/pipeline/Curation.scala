@@ -126,7 +126,11 @@ object Curation {
       contaminationReport: DataFrame, // what the anti-join removed
       cleaned: DataFrame,
       qualified: DataFrame,
-      sampled: DataFrame
+      sampled: DataFrame,
+      // the corpus the gopher stage thresholded (post-floors, pre-rules;
+      // Some iff the stage is on) — the audit input, so a flag-count
+      // report reads the exact plan the stage filtered
+      gopherEvaluated: Option[DataFrame] = None
   )
 
   def curateStaged(
@@ -204,7 +208,7 @@ object Curation {
     }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
     Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
-      cleaned, qualified, sampled)
+      cleaned, qualified, sampled, gopherEvaluated = gopher.map(_ => qualified0))
   }
 
   def curate(

@@ -154,6 +154,7 @@ class CurationSpec extends SparkSpec {
       "--docs", "unused", "--eval", "unused", "--out", out,
       "--min-tokens", "20", "--quality-floor", "0.72",
       "--neardup", "exact:0.6", "--max-dup-fraction", "0.9",
+      "--gopher", "min-words=5,max-dup-unit-fraction=0.6",
       "--shingle-n", "6", "--rates", "en=0.9,zh=0.8", "--default-rate", "0.7"))
     assert(args.nearDup == Curation.NearDupStage.ExactJaccard(0.6))
     assert(args.rates == Map("en" -> 0.9, "zh" -> 0.8))
@@ -230,6 +231,16 @@ class CurationSpec extends SparkSpec {
     pairAudit.select(col("id_a"), col("id_b")).as[(Long, Long)].collect().foreach {
       case (x, y) => assert(cmap(x) == cmap(y), s"pair ($x,$y) split across clusters")
     }
+
+    // gopher audit: per-rule pass counts over the corpus the stage
+    // thresholded; at this corpus the dup-unit cap bites non-vacuously
+    val gopherAudit = spark.read.parquet(s"$out/gopher_report")
+    assert(gopherAudit.columns.toSet == Set("n_evaluated", "n_words_ok", "n_word_len_ok",
+      "n_alpha_ok", "n_dup_unit_ok", "n_passes", "n_top_ngram_ok"))
+    val ga = gopherAudit.select(col("n_evaluated"), col("n_dup_unit_ok"), col("n_passes"))
+      .as[(Long, Long, Long)].head()
+    assert(ga._1 > 0 && ga._3 <= ga._1 && ga._2 < ga._1) // the cap removed something
+    assert(ga._3 >= ids.size.toLong) // survivors passed (sampling may drop more)
 
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString
