@@ -180,11 +180,14 @@ object RunCuration {
       s"strataCol=${a.strataCol}", s"evalTextCol=${a.evalTextCol}",
       s"minTokens=${a.minTokens}", s"qualityFloor=${a.qualityFloor}",
       s"nearDup=${a.nearDup}", s"maxDupFraction=${a.maxDupFraction}",
-      s"spanAction=${a.spanAction}", s"gopher=${a.gopher}", s"shingleN=${a.shingleN}",
+      s"spanAction=${a.spanAction}", s"shingleN=${a.shingleN}",
       s"spanShingleN=${a.spanShingleN}", s"spanMinDf=${a.spanMinDf}",
       s"rates=$rates", s"defaultRate=${a.defaultRate}", s"redact=${a.redact}",
       s"buckets=${a.buckets}"
-    ).mkString(";")
+      // the gopher segment is emitted only when the stage is on:
+      // gopher-off runs keep the pre-flag fingerprint format, so an
+      // in-flight output dir stays resumable across the upgrade
+    ).++(a.gopher.map(g => s"gopher=$g")).mkString(";")
   }
 
   /** Pin the run config next to the output: first run records it,
@@ -262,6 +265,10 @@ object RunCuration {
         staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
         staged.spanReport.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+        // the gopher audit re-aggregates the pre-rules plan; unpinned,
+        // that would replay the span join + decontam anti-join above
+        // the pinned prefixes a second time
+        staged.gopherEvaluated.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.sampled.persist(StorageLevel.MEMORY_AND_DISK) :: Nil
     try {
       // PII scrubbing runs LAST, on the shipped mix only (earlier
@@ -304,7 +311,9 @@ object RunCuration {
           minAlphaWordFraction = r.minAlphaWordFraction,
           maxDupUnitFraction = r.maxDupUnitFraction,
           maxTopNgramCharFraction = r.maxTopNgramCharFraction)
-        def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+        // coalesce: sum over an empty evaluated corpus is NULL, and
+        // the audit contract is non-null longs (same fold piiTotals does)
+        def cnt(c: String) = coalesce(sum(when(col(c), 1L).otherwise(0L)), lit(0L)).as(s"n_$c")
         flagged
           .agg(count(lit(1)).as("n_evaluated"), cnt("words_ok"), cnt("word_len_ok"),
             cnt("alpha_ok"), cnt("dup_unit_ok"), cnt("top_ngram_ok"), cnt("passes"))
