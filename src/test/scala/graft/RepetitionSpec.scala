@@ -158,4 +158,37 @@ class RepetitionSpec extends SparkSpec {
       assert(viaFlags.values.exists(identity) && viaFlags.values.exists(!_))
     }
   }
+
+  test("streaming: signals and gopher predicate at ingestion match batch digit-for-digit") {
+    // every signal is a stateless per-row projection, so the profile
+    // (and the rule gate) can run AT INGESTION on a stream with no
+    // state — this pins the stream plan to the batch plan exactly
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().take(120)
+
+    def profiled(df: org.apache.spark.sql.DataFrame) =
+      Repetition.addSignals(df, "text")
+        .withColumn("passes", Repetition.gopherPasses(col("text"),
+          minWords = 20, minMeanWordLen = 4.0, maxDupUnitFraction = 0.6))
+        .select("doc_id", "dup_unit_fraction", "dup_unit_char_fraction",
+          "top_ngram_char_fraction", "dup_ngram_unit_fraction", "passes")
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = profiled(input.toDS().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_rep").outputMode("append").start()
+    input.addData(corpus.take(50).toSeq)
+    q.processAllAvailable()
+    input.addData(corpus.drop(50).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("stream_rep")
+      .as[(Long, Double, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    val batch = profiled(corpus.toSeq.toDF("doc_id", "text"))
+      .as[(Long, Double, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(got.toSeq == batch.toSeq && got.length == corpus.length)
+    assert(got.exists(_._6) && got.exists(!_._6)) // the gate splits the stream
+  }
 }
