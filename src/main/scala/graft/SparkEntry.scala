@@ -543,6 +543,24 @@ object SparkEntry {
           chunkSize = 256)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // ---- training-mix: next-fit sequence packing — (sequence, offset)
+    //      slot per document so fixed-length training contexts assemble
+    //      without mid-document truncation. maxTokens=500 < max(n_chars)
+    //      so BOTH paths are non-vacuous at every SF: multi-doc
+    //      sequences AND oversize docs isolated in their own sequence.
+    //      chunkDocs=128 makes the chunk restart part of the oracle too.
+    "q_pack_sequences" -> ((s, dir) =>
+      Sampling.packSequences(
+        read(s, dir, "documents"), "doc_id", "n_chars", maxTokens = 500L, chunkDocs = 128)),
+
+    // ---- training-mix: deterministic order shuffle with an explicit
+    //      global position (bucket-histogram two-phase rank — no
+    //      single-task global window). buckets=64 exercises real
+    //      multi-bucket offsets at every SF.
+    "q_shuffle_positions" -> ((s, dir) =>
+      Sampling.shufflePositions(read(s, dir, "documents"), "doc_id", buckets = 64)
+        .select(col("doc_id"), col("shuffle_pos"))),
+
     // ---- substring/passage-level dedup: maximal duplicated token
     //      spans per document (position-indexed 6-gram windows shared
     //      by >= 2 docs, merged gaps-and-islands per doc). Catches the
@@ -1915,6 +1933,37 @@ object SparkEntry {
           |      ROWS UNBOUNDED PRECEDING) AS running
           |  FROM documents)
           |WHERE running <= 4000""".stripMargin,
+      // next-fit packing replayed literally: a recursive CTE walks each
+      // id-chunk in doc_id order carrying (sequence, offset, run) — the
+      // same greedy recurrence the Spark-side linear `aggregate` runs,
+      // including the chunk restart and the oversize-doc-alone branch
+      "q_pack_sequences" ->
+        """WITH RECURSIVE docs AS (
+          |  SELECT doc_id, n_chars, doc_id // 128 AS chunk,
+          |    row_number() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
+          |  FROM documents),
+          |rec AS (
+          |  SELECT chunk, rn, doc_id, n_chars,
+          |    0::BIGINT AS seq_local, 0::BIGINT AS seq_offset, n_chars::BIGINT AS run
+          |  FROM docs WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.chunk, d.rn, d.doc_id, d.n_chars,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN r.seq_local + 1 ELSE r.seq_local END,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN 0 ELSE r.run END,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN d.n_chars ELSE r.run + d.n_chars END
+          |  FROM rec r JOIN docs d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
+          |SELECT doc_id, n_chars, chunk * 128 + seq_local AS seq_id, seq_offset
+          |FROM rec""".stripMargin,
+      // the bucketed two-phase rank collapses to one global row_number
+      // in the oracle — same two-residue coin (replayed digit-for-digit,
+      // see q_sample_stratified), ties broken by id
+      "q_shuffle_positions" ->
+        """SELECT doc_id, row_number() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos FROM (
+          |  SELECT doc_id,
+          |    (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+          |     + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+          |    % 2147483647 / 2147483647.0 AS u
+          |  FROM documents)""".stripMargin,
       "q_cosine_pairs" ->
         """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
           |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

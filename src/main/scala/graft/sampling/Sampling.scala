@@ -152,6 +152,137 @@ object Sampling {
       .drop(cChunk, cWithin, cGrp, cChunk2, cOffset)
   }
 
+  /** Next-fit sequence packing: walk documents in ascending `idCol`
+    * order and append each to the current training sequence while the
+    * sequence's token total stays within `maxTokens`; otherwise open a
+    * new sequence. A document larger than `maxTokens` gets a sequence
+    * of its own (next-fit isolates it automatically: it opens a new
+    * sequence, and the following document cannot join it). This is the
+    * step AFTER [[tokenBudgetCap]]: the mix is chosen, and each
+    * document needs a (sequence, offset) slot so fixed-length training
+    * contexts can be assembled without truncating mid-document.
+    *
+    * Packing is defined PER ID-CHUNK (`floorDiv(id, chunkDocs)`): the
+    * greedy walk restarts at each chunk boundary. Global next-fit is
+    * inherently sequential — one walk over 10^12 documents cannot
+    * parallelize — so the chunked form IS the semantics, not an
+    * approximation of something else: every engine (and the DuckDB
+    * oracle) replays it exactly, each chunk packs independently in one
+    * bounded task, and the only waste is at most one under-filled
+    * sequence per chunk boundary. Within a chunk the walk is a single
+    * linear `aggregate` over the chunk's (id, tokens) array (collected
+    * per group — bounded by `chunkDocs` rows, never by corpus size).
+    *
+    * Returns `(idCol, tokensCol, seq_id, seq_offset)` (id and tokens
+    * cast to bigint) — the assignment table, narrow by construction
+    * (text never rides the exchange);
+    * join it back to the corpus on `idCol` to materialize sequences.
+    * `seq_id = chunk * chunkDocs + seq_local` is globally unique and
+    * deterministic (`seq_local < docs-in-chunk <= chunkDocs`);
+    * `seq_offset` is the token count preceding the document within its
+    * sequence. `idCol` must be integral, unique and non-null; null
+    * token counts pack as 0.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maxTokens: Long,
+      chunkDocs: Int = 4096
+  ): DataFrame = {
+    require(maxTokens > 0, s"packSequences maxTokens must be positive, got $maxTokens")
+    require(chunkDocs > 0, s"packSequences chunkDocs must be positive, got $chunkDocs")
+    val names = df.columns.toSet
+    val cChunk = fresh(names, "_ps_chunk")
+    val cArr = fresh(names, "_ps_arr")
+    val cP = fresh(names, "_ps_p")
+
+    val elemType = "array<struct<id:bigint,tok:bigint,seq:bigint,off:bigint>>"
+    // acc = (packed-so-far, current sequence index, current run).
+    // seq starts at -1 with a sentinel run > maxTokens, so the first
+    // element always "opens" sequence 0 through the same branch every
+    // later element uses — no special first-row case.
+    val packedArr = aggregate(
+      col(cArr),
+      struct(
+        array().cast(elemType).as("out"),
+        lit(-1L).as("seq"),
+        lit(maxTokens + 1).cast("long").as("run")),
+      (s, x) => {
+        val open = s.getField("run") + x.getField("tok") > maxTokens
+        val seq = when(open, s.getField("seq") + 1L).otherwise(s.getField("seq"))
+        val off = when(open, lit(0L)).otherwise(s.getField("run"))
+        val run = when(open, x.getField("tok")).otherwise(s.getField("run") + x.getField("tok"))
+        struct(
+          concat(
+            s.getField("out"),
+            array(struct(
+              x.getField("id").as("id"), x.getField("tok").as("tok"),
+              seq.as("seq"), off.as("off")))).as("out"),
+          seq.as("seq"),
+          run.as("run"))
+      },
+      s => s.getField("out"))
+
+    df.select(
+        graft.util.Cols.floorDivLong(col(idCol).cast("long"), chunkDocs.toLong).as(cChunk),
+        col(idCol).cast("long").as("id"),
+        coalesce(col(tokensCol).cast("long"), lit(0L)).as("tok"))
+      // array_sort on (id, tok) structs orders by id — the walk order
+      // is deterministic whatever order collect_list saw the rows in
+      .groupBy(col(cChunk))
+      .agg(array_sort(collect_list(struct(col("id"), col("tok")))).as(cArr))
+      .select(col(cChunk), explode(packedArr).as(cP))
+      .select(
+        col(s"$cP.id").as(idCol),
+        col(s"$cP.tok").as(tokensCol),
+        (col(cChunk) * chunkDocs.toLong + col(s"$cP.seq")).as("seq_id"),
+        col(s"$cP.off").as("seq_offset"))
+  }
+
+  /** Deterministic training-order shuffle with an explicit global
+    * position: `shuffle_pos` is the 0-based rank of the row under
+    * `(idUniform(id), id)` — a reproducible decorrelation of crawl /
+    * source order (consecutive ids land ~0.414·range apart), identical
+    * across runs, cluster sizes and engines.
+    *
+    * Scale shape: a naive global `row_number()` window is ONE task
+    * holding the whole corpus. Here the coin is uniform in [0,1) by
+    * construction, so `floor(u · buckets)` is a balanced
+    * range-partitioning of the final order: rank within bucket (window
+    * over ~rows/buckets rows), then add each bucket's exclusive offset
+    * (a running sum over the `buckets`-row count table, broadcast
+    * back). Set `buckets` so rows/buckets fits a task — the same
+    * histogram trick a distributed sort's range exchange uses, but
+    * with cross-engine-deterministic boundaries.
+    */
+  def shufflePositions(df: DataFrame, idCol: String, buckets: Int = 4096): DataFrame = {
+    require(buckets > 0, s"shufflePositions buckets must be positive, got $buckets")
+    val names = df.columns.toSet
+    val cU = fresh(names, "_shf_u")
+    val cB = fresh(names, "_shf_b")
+    val cR = fresh(names, "_shf_r")
+    val cB2 = fresh(names, "_shf_b2")
+    val cOff = fresh(names, "_shf_off")
+
+    val withU = df
+      .withColumn(cU, idUniform(col(idCol)))
+      // least(): u < 1 mathematically, but u·buckets can round UP to
+      // exactly `buckets` in doubles — clamp the top edge into the
+      // last bucket instead of minting a phantom one
+      .withColumn(cB, least(floor(col(cU) * buckets), lit(buckets - 1)).cast("long"))
+    val wIn = Window.partitionBy(col(cB)).orderBy(col(cU).asc, col(idCol).asc)
+    val counts = withU.groupBy(col(cB).as(cB2)).agg(count(lit(1)).as(cOff))
+    val wOff = Window.orderBy(col(cB2)).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn(cOff, coalesce(sum(col(cOff)).over(wOff), lit(0L)))
+
+    withU
+      .withColumn(cR, row_number().over(wIn).cast("long"))
+      .join(broadcast(offsets), col(cB) === col(cB2))
+      .withColumn("shuffle_pos", col(cOff) + col(cR) - 1L)
+      .drop(cU, cB, cR, cB2, cOff)
+  }
+
   /** The single-window reference form of [[tokenBudgetCap]] — same
     * semantics, one task per group (fine when no group is huge; the
     * property suite pins the chunked form equal to this one).

@@ -110,6 +110,84 @@ class SamplingSpec extends SparkSpec {
     assert(got == want && want.size == 5)
   }
 
+  test("packSequences: hand-computed walk — fill, overflow, oversize-alone, restart after oversize") {
+    import spark.implicits._
+    val df = Seq((1L, 300L), (2L, 150L), (3L, 100L), (4L, 600L), (5L, 50L))
+      .toDF("doc_id", "n_toks")
+    val got = Sampling.packSequences(df, "doc_id", "n_toks", maxTokens = 500L, chunkDocs = 1000)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 300L, 0L, 0L), // opens seq 0
+      (2L, 150L, 0L, 300L), // fits: 450 <= 500
+      (3L, 100L, 1L, 0L), // 550 > 500: opens seq 1
+      (4L, 600L, 2L, 0L), // oversize: isolated in its own sequence
+      (5L, 50L, 3L, 0L))) // cannot join the oversize sequence
+  }
+
+  test("packSequences: the walk restarts at each id-chunk; seq_id is globally unique") {
+    import spark.implicits._
+    val df = (0L until 8L).map(i => (i, 100L)).toDF("doc_id", "n_toks")
+    val got = Sampling.packSequences(df, "doc_id", "n_toks", maxTokens = 1000L, chunkDocs = 4)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // 8 × 100 would fit one sequence, but the chunk boundary at id 4
+    // restarts the walk: chunk 0 packs into seq 0·4+0, chunk 1 into 1·4+0
+    assert(got.map(r => (r._1, r._3, r._4)) == Seq(
+      (0L, 0L, 0L), (1L, 0L, 100L), (2L, 0L, 200L), (3L, 0L, 300L),
+      (4L, 4L, 0L), (5L, 4L, 100L), (6L, 4L, 200L), (7L, 4L, 300L)))
+  }
+
+  test("packSequences: equals a local greedy replay on a gappy corpus; invariants hold") {
+    import spark.implicits._
+    val rows = (0L until 600L).map(i => (i * 7 % 1009, (i * 137 % 900) + 20))
+      .distinctBy(_._1) // unique ids with gaps, tokens 20..919 incl. oversize
+    val df = rows.toDF("doc_id", "n_toks").repartition(13)
+    val maxTokens = 700L
+    val chunkDocs = 64
+    val got = Sampling.packSequences(df, "doc_id", "n_toks", maxTokens, chunkDocs)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    // local replay of the same chunked next-fit walk
+    val want = rows.sortBy(_._1).groupBy { case (id, _) => Math.floorDiv(id, chunkDocs) }
+      .toSeq.flatMap { case (chunk, docs) =>
+        var seq = -1L; var run = maxTokens + 1
+        docs.sortBy(_._1).map { case (id, tok) =>
+          val off = if (run + tok > maxTokens) { seq += 1; run = tok; 0L }
+          else { val o = run; run += tok; o }
+          (id, tok, chunk * chunkDocs + seq, off)
+        }
+      }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+
+    // invariants: all docs present exactly once; a sequence either fits
+    // the budget or is a single oversize doc; offsets are prefix sums
+    assert(got.map(_._1) == rows.map(_._1).sorted)
+    got.groupBy(_._3).foreach { case (seqId, ds) =>
+      val tot = ds.map(_._2).sum
+      assert(tot <= maxTokens || ds.size == 1, s"seq $seqId: $tot over budget with ${ds.size} docs")
+      ds.sortBy(_._4).foldLeft(0L) { (acc, d) =>
+        assert(d._4 == acc, s"seq $seqId: offset ${d._4} != prefix $acc"); acc + d._2
+      }
+    }
+    assert(got.exists(_._2 > maxTokens)) // oversize path non-vacuous
+    assert(got.groupBy(_._3).exists(_._2.size > 1)) // multi-doc sequences exist
+  }
+
+  test("shufflePositions: exact 0-based rank under (coin, id); bucket count never changes it") {
+    import spark.implicits._
+    val ids = (0L until 500L).map(_ * 13 % 2003).distinct
+    val df = ids.map(i => (i, s"d$i")).toDF("doc_id", "payload").repartition(11)
+    val want = ids.sortBy(i => (idHash(i), i)).zipWithIndex.map { case (i, p) => (i, p.toLong) }
+    for (buckets <- Seq(1, 7, 64, 4096)) {
+      val got = Sampling.shufflePositions(df, "doc_id", buckets)
+        .select("doc_id", "shuffle_pos").as[(Long, Long)].collect().sortBy(_._2).toSeq
+      assert(got == want, s"buckets=$buckets")
+    }
+    // positions are a permutation of 0..n-1 and payload columns survive
+    val out = Sampling.shufflePositions(df, "doc_id", 16)
+    assert(out.columns.toSeq == Seq("doc_id", "payload", "shuffle_pos"))
+    assert(out.select("shuffle_pos").as[Long].collect().sorted.toSeq == (0L until ids.size).toSeq)
+  }
+
   test("tokenBudgetCap: caller columns named like temps survive untouched") {
     import spark.implicits._
     val df = Seq(("a", 1L, 10L, "keep1", "keep2"), ("a", 2L, 10L, "x", "y"))
