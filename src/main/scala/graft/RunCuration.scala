@@ -314,9 +314,22 @@ object RunCuration {
         // coalesce: sum over an empty evaluated corpus is NULL, and
         // the audit contract is non-null longs (same fold piiTotals does)
         def cnt(c: String) = coalesce(sum(when(col(c), 1L).otherwise(0L)), lit(0L)).as(s"n_$c")
+        // signal distribution alongside the rule counts — the numbers an
+        // operator tunes thresholds FROM (exact percentile: sorts the
+        // already-round(·,6) signal values, deterministic under any
+        // partitioning; approx sketches merge order-dependently)
+        def pct(c: String, p: Double) =
+          coalesce(round(percentile(col(c), lit(p)), 6), lit(0.0)).as(f"p${(p * 100).toInt}%d_$c")
+        def mx(c: String) = coalesce(max(col(c)), lit(0.0)).as(s"max_$c")
         flagged
           .agg(count(lit(1)).as("n_evaluated"), cnt("words_ok"), cnt("word_len_ok"),
-            cnt("alpha_ok"), cnt("dup_unit_ok"), cnt("top_ngram_ok"), cnt("passes"))
+            cnt("alpha_ok"), cnt("dup_unit_ok"), cnt("top_ngram_ok"), cnt("passes"),
+            pct("dup_unit_fraction", 0.5), pct("dup_unit_fraction", 0.9),
+            mx("dup_unit_fraction"),
+            pct("top_ngram_char_fraction", 0.5), pct("top_ngram_char_fraction", 0.9),
+            mx("top_ngram_char_fraction"),
+            coalesce(round(percentile(col("word_count"), lit(0.5)), 1), lit(0.0))
+              .as("p50_word_count"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"${a.out}/gopher_report")
       }

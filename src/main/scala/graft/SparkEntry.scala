@@ -553,6 +553,15 @@ object SparkEntry {
       Sampling.packSequences(
         read(s, dir, "documents"), "doc_id", "n_chars", maxTokens = 500L, chunkDocs = 128)),
 
+    // ---- training-mix: the assembled contexts — one row per packed
+    //      sequence, member texts joined in packing order (the table a
+    //      tokenizer consumes); same packing parameters as
+    //      q_pack_sequences so the two rows pin assignment AND assembly
+    "q_pack_texts" -> ((s, dir) =>
+      Sampling.sequenceTexts(
+        read(s, dir, "documents"), "doc_id", "text", "n_chars",
+        maxTokens = 500L, chunkDocs = 128)),
+
     // ---- training-mix: deterministic order shuffle with an explicit
     //      global position (bucket-histogram two-phase rank — no
     //      single-task global window). buckets=64 exercises real
@@ -1526,6 +1535,33 @@ object SparkEntry {
         |      % 2147483647 / 2147483647.0 <
         |  CASE lang WHEN 'en' THEN 0.5 WHEN 'zh' THEN 0.25 ELSE 0.1 END""".stripMargin
 
+    // shared next-fit packing walk (Sampling.packSequences replay at
+    // maxTokens=500, chunkDocs=128): a recursive CTE carries
+    // (sequence, offset, run) through each id-chunk in doc_id order —
+    // the same greedy recurrence the Spark-side linear `aggregate`
+    // runs, including the chunk restart and the oversize-doc-alone
+    // branch. q_pack_sequences reads the assignment; q_pack_texts
+    // assembles the contexts from it — one definition keeps the
+    // parameters in lockstep
+    val packCtes =
+      """WITH RECURSIVE pdocs AS (
+        |  SELECT doc_id, n_chars, doc_id // 128 AS chunk,
+        |    row_number() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |prec AS (
+        |  SELECT chunk, rn, doc_id, n_chars,
+        |    0::BIGINT AS seq_local, 0::BIGINT AS seq_offset, n_chars::BIGINT AS run
+        |  FROM pdocs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.chunk, d.rn, d.doc_id, d.n_chars,
+        |    CASE WHEN r.run + d.n_chars > 500 THEN r.seq_local + 1 ELSE r.seq_local END,
+        |    CASE WHEN r.run + d.n_chars > 500 THEN 0 ELSE r.run END,
+        |    CASE WHEN r.run + d.n_chars > 500 THEN d.n_chars ELSE r.run + d.n_chars END
+        |  FROM prec r JOIN pdocs d ON d.chunk = r.chunk AND d.rn = r.rn + 1),
+        |passign AS (
+        |  SELECT doc_id, n_chars, chunk * 128 + seq_local AS seq_id, seq_offset
+        |  FROM prec)""".stripMargin
+
     Map(
       "q_agg_pricing" ->
         """SELECT l_returnflag, l_linestatus,
@@ -1933,27 +1969,18 @@ object SparkEntry {
           |      ROWS UNBOUNDED PRECEDING) AS running
           |  FROM documents)
           |WHERE running <= 4000""".stripMargin,
-      // next-fit packing replayed literally: a recursive CTE walks each
-      // id-chunk in doc_id order carrying (sequence, offset, run) — the
-      // same greedy recurrence the Spark-side linear `aggregate` runs,
-      // including the chunk restart and the oversize-doc-alone branch
       "q_pack_sequences" ->
-        """WITH RECURSIVE docs AS (
-          |  SELECT doc_id, n_chars, doc_id // 128 AS chunk,
-          |    row_number() OVER (PARTITION BY doc_id // 128 ORDER BY doc_id) AS rn
-          |  FROM documents),
-          |rec AS (
-          |  SELECT chunk, rn, doc_id, n_chars,
-          |    0::BIGINT AS seq_local, 0::BIGINT AS seq_offset, n_chars::BIGINT AS run
-          |  FROM docs WHERE rn = 1
-          |  UNION ALL
-          |  SELECT d.chunk, d.rn, d.doc_id, d.n_chars,
-          |    CASE WHEN r.run + d.n_chars > 500 THEN r.seq_local + 1 ELSE r.seq_local END,
-          |    CASE WHEN r.run + d.n_chars > 500 THEN 0 ELSE r.run END,
-          |    CASE WHEN r.run + d.n_chars > 500 THEN d.n_chars ELSE r.run + d.n_chars END
-          |  FROM rec r JOIN docs d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
-          |SELECT doc_id, n_chars, chunk * 128 + seq_local AS seq_id, seq_offset
-          |FROM rec""".stripMargin,
+        s"""$packCtes
+           |SELECT doc_id, n_chars, seq_id, seq_offset FROM passign""".stripMargin,
+      // string_agg replays concat_ws over the same walk; (seq_offset,
+      // doc_id) ordering matches the Spark-side array_sort tie-break
+      "q_pack_texts" ->
+        s"""$packCtes
+           |SELECT seq_id,
+           |  string_agg(text, ' ' ORDER BY seq_offset, doc_id) AS seq_text,
+           |  count(*) AS n_docs
+           |FROM passign JOIN documents USING (doc_id)
+           |GROUP BY seq_id""".stripMargin,
       // the bucketed two-phase rank collapses to one global row_number
       // in the oracle — same two-residue coin (replayed digit-for-digit,
       // see q_sample_stratified), ties broken by id

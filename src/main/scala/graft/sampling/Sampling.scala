@@ -240,6 +240,43 @@ object Sampling {
         col(s"$cP.off").as("seq_offset"))
   }
 
+  /** Assembled training contexts from [[packSequences]]: one row per
+    * sequence with the member documents' text joined by `sep` in
+    * packing order — the table a tokenizer/writer consumes directly.
+    * Ties on offset cannot happen for positive token counts, but
+    * zero-token documents share an offset, so the join order key is
+    * `(seq_offset, id)` — deterministic always.
+    *
+    * Scale shape: the assignment is narrow; the corpus joins it on the
+    * id key (shuffle join on the corpus' own key — co-partitionable),
+    * and the groupBy(seq_id) task is bounded by `maxTokens` characters
+    * of text by construction, so no mega-group exists even when the
+    * corpus is skewed.
+    */
+  def sequenceTexts(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokensCol: String,
+      maxTokens: Long,
+      chunkDocs: Int = 4096,
+      sep: String = " "
+  ): DataFrame = {
+    val assigned = packSequences(df, idCol, tokensCol, maxTokens, chunkDocs)
+    val names = df.columns.toSet
+    val cM = fresh(names, "_sq_m")
+    assigned
+      .join(df.select(col(idCol).cast("long").as(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("seq_id"))
+      .agg(
+        array_sort(collect_list(struct(
+          col("seq_offset").as("off"), col(idCol).as("id"), col(textCol).as("txt")))).as(cM))
+      .select(
+        col("seq_id"),
+        concat_ws(sep, transform(col(cM), m => m.getField("txt"))).as("seq_text"),
+        size(col(cM)).cast("long").as("n_docs"))
+  }
+
   /** Deterministic training-order shuffle with an explicit global
     * position: `shuffle_pos` is the 0-based rank of the row under
     * `(idUniform(id), id)` — a reproducible decorrelation of crawl /

@@ -236,11 +236,21 @@ class CurationSpec extends SparkSpec {
     // thresholded; at this corpus the dup-unit cap bites non-vacuously
     val gopherAudit = spark.read.parquet(s"$out/gopher_report")
     assert(gopherAudit.columns.toSet == Set("n_evaluated", "n_words_ok", "n_word_len_ok",
-      "n_alpha_ok", "n_dup_unit_ok", "n_passes", "n_top_ngram_ok"))
+      "n_alpha_ok", "n_dup_unit_ok", "n_passes", "n_top_ngram_ok",
+      "p50_dup_unit_fraction", "p90_dup_unit_fraction", "max_dup_unit_fraction",
+      "p50_top_ngram_char_fraction", "p90_top_ngram_char_fraction",
+      "max_top_ngram_char_fraction", "p50_word_count"))
     val ga = gopherAudit.select(col("n_evaluated"), col("n_dup_unit_ok"), col("n_passes"))
       .as[(Long, Long, Long)].head()
     assert(ga._1 > 0 && ga._3 <= ga._1 && ga._2 < ga._1) // the cap removed something
     assert(ga._3 >= ids.size.toLong) // survivors passed (sampling may drop more)
+    // signal distribution: ordered percentiles inside the signal range,
+    // and the dup-unit tail sits over the 0.6 cap (that's what bit above)
+    val gd = gopherAudit.select(col("p50_dup_unit_fraction"), col("p90_dup_unit_fraction"),
+      col("max_dup_unit_fraction"), col("p50_word_count"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(gd._1 <= gd._2 && gd._2 <= gd._3 && gd._3 <= 1.0 && gd._1 >= 0.0)
+    assert(gd._3 > 0.6 && gd._4 > 0.0)
 
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString

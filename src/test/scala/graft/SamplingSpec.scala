@@ -172,6 +172,25 @@ class SamplingSpec extends SparkSpec {
     assert(got.groupBy(_._3).exists(_._2.size > 1)) // multi-doc sequences exist
   }
 
+  test("sequenceTexts: contexts are member texts joined in packing order; every doc appears once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 300L, "alpha"), (2L, 150L, "beta"), (3L, 100L, "gamma"),
+      (4L, 600L, "delta"), (5L, 50L, "eps"))
+      .toDF("doc_id", "n_toks", "text").repartition(5)
+    val got = Sampling.sequenceTexts(df, "doc_id", "text", "n_toks", maxTokens = 500L)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // same walk as the packSequences hand-computed test: {1,2} {3} {4} {5}
+    assert(got == Seq(
+      (0L, "alpha beta", 2L), (1L, "gamma", 1L), (2L, "delta", 1L), (3L, "eps", 1L)))
+    // zero-token docs share offset 0 — the id tie-break keeps assembly
+    // deterministic
+    val zeros = Seq((10L, 0L, "a"), (11L, 0L, "b"), (12L, 0L, "c")).toDF("doc_id", "n_toks", "text")
+    val z = Sampling.sequenceTexts(zeros, "doc_id", "text", "n_toks", maxTokens = 5L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(z == Seq((0L, "a b c", 3L)))
+  }
+
   test("shufflePositions: exact 0-based rank under (coin, id); bucket count never changes it") {
     import spark.implicits._
     val ids = (0L until 500L).map(_ * 13 % 2003).distinct
