@@ -347,6 +347,19 @@ object RunCuration {
           .coalesce(1)
           .write.mode("overwrite").parquet(s"${a.out}/pii_counts")
       }
+      // mix composition over the SHIPPED corpus: per-stratum doc /
+      // character / whitespace-token totals — the one-glance answer to
+      // "what did we actually ship". Reads the corpus parquet just
+      // written (a two-column scan), never a pipeline replay
+      spark.read.parquet(s"${a.out}/corpus")
+        .groupBy(col(a.strataCol).as("stratum"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(length(col(a.textCol)).cast("long")), lit(0L)).as("n_chars"),
+          coalesce(sum(graft.text.TextOps.tokenCount(col(a.textCol)).cast("long")), lit(0L))
+            .as("n_tokens"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${a.out}/mix_report")
       System.err.println(s"[curation] wrote $bucketsWritten/${a.buckets} pending buckets")
     } finally pinned.foreach(_.unpersist())
 

@@ -315,7 +315,11 @@ object Sampling {
 
     withU
       .withColumn(cR, row_number().over(wIn).cast("long"))
-      .join(broadcast(offsets), col(cB) === col(cB2))
+      // null-safe: a null id yields a null coin/bucket — such rows must
+      // still come back with a position (nulls-first bucket), not
+      // vanish through the offset join; positions are only fully
+      // deterministic under the unique-non-null-id contract
+      .join(broadcast(offsets), col(cB) <=> col(cB2))
       .withColumn("shuffle_pos", col(cOff) + col(cR) - 1L)
       .drop(cU, cB, cR, cB2, cOff)
   }

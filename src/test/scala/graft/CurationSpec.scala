@@ -252,6 +252,14 @@ class CurationSpec extends SparkSpec {
     assert(gd._1 <= gd._2 && gd._2 <= gd._3 && gd._3 <= 1.0 && gd._1 >= 0.0)
     assert(gd._3 > 0.6 && gd._4 > 0.0)
 
+    // mix composition: per-stratum totals over exactly the shipped corpus
+    val mix = spark.read.parquet(s"$out/mix_report")
+    assert(mix.columns.toSet == Set("stratum", "n_docs", "n_chars", "n_tokens"))
+    assert(mix.agg(sum(col("n_docs"))).as[Long].head() == ids.size.toLong)
+    val wantChars = curated.agg(sum(length(col("text")).cast("long"))).as[Long].head()
+    assert(mix.agg(sum(col("n_chars"))).as[Long].head() == wantChars)
+    assert(mix.where(col("n_tokens") <= 0L).count() == 0)
+
     // --redact scrubs the SHIPPED mix only (stages saw original text)
     val out2 = java.nio.file.Files.createTempDirectory("graft_curation_red_").toString
     val withPii = corpus.withColumn("text",
