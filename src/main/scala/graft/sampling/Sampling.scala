@@ -190,7 +190,10 @@ object Sampling {
       maxTokens: Long,
       chunkDocs: Int = 4096
   ): DataFrame = {
-    require(maxTokens > 0, s"packSequences maxTokens must be positive, got $maxTokens")
+    // the sentinel below is maxTokens + 1; Long.MaxValue would wrap it
+    // negative (and ANSI mode would reject the add anyway)
+    require(maxTokens > 0 && maxTokens < Long.MaxValue,
+      s"packSequences maxTokens must be in (0, Long.MaxValue), got $maxTokens")
     require(chunkDocs > 0, s"packSequences chunkDocs must be positive, got $chunkDocs")
     val names = df.columns.toSet
     val cChunk = fresh(names, "_ps_chunk")

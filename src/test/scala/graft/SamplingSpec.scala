@@ -138,8 +138,11 @@ class SamplingSpec extends SparkSpec {
 
   test("packSequences: equals a local greedy replay on a gappy corpus; invariants hold") {
     import spark.implicits._
-    val rows = (0L until 600L).map(i => (i * 7 % 1009, (i * 137 % 900) + 20))
-      .distinctBy(_._1) // unique ids with gaps, tokens 20..919 incl. oversize
+    // unique ids with gaps INCLUDING negatives (floor-division chunking
+    // must agree with Math.floorDiv below zero), tokens 20..919 incl.
+    // oversize
+    val rows = (0L until 600L).map(i => (i * 7 % 1009 - 300, (i * 137 % 900) + 20))
+      .distinctBy(_._1)
     val df = rows.toDF("doc_id", "n_toks").repartition(13)
     val maxTokens = 700L
     val chunkDocs = 64
