@@ -553,6 +553,15 @@ object SparkEntry {
       Sampling.packSequences(
         read(s, dir, "documents"), "doc_id", "n_chars", maxTokens = 500L, chunkDocs = 128)),
 
+    // ---- training-mix: deterministic fractional upsampling (epochs
+    //      per source): floor(factor) copies + a coin-gated extra —
+    //      en=2.5 doubles everything and triples the same fixed half;
+    //      zh=0.5 behaves like stratified sampling at 0.5
+    "q_upsample" -> ((s, dir) =>
+      Sampling.upsample(read(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 2.5, "zh" -> 0.5), defaultFactor = 1.0)
+        .select(col("doc_id"), col("lang"), col("copy_idx"))),
+
     // ---- training-mix: the assembled contexts — one row per packed
     //      sequence, member texts joined in packing order (the table a
     //      tokenizer consumes); same packing parameters as
@@ -1981,6 +1990,22 @@ object SparkEntry {
            |  count(*) AS n_docs
            |FROM passign JOIN documents USING (doc_id)
            |GROUP BY seq_id""".stripMargin,
+      // floor(factor) copies + the two-residue coin gating the
+      // fractional extra; generate_series(0, copies-1) unnests to
+      // nothing for copies = 0, dropping the row like the Spark filter
+      "q_upsample" ->
+        """SELECT doc_id, lang, copy_idx FROM (
+          |  SELECT doc_id, lang, unnest(generate_series(0, copies - 1)) AS copy_idx FROM (
+          |    SELECT doc_id, lang,
+          |      CAST(floor(f) AS BIGINT)
+          |        + CASE WHEN u < f - floor(f) THEN 1 ELSE 0 END AS copies
+          |    FROM (
+          |      SELECT doc_id, lang,
+          |        (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+          |         + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+          |        % 2147483647 / 2147483647.0 AS u,
+          |        CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.5 ELSE 1.0 END AS f
+          |      FROM documents)))""".stripMargin,
       // the bucketed two-phase rank collapses to one global row_number
       // in the oracle — same two-residue coin (replayed digit-for-digit,
       // see q_sample_stratified), ties broken by id

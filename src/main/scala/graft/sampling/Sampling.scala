@@ -70,6 +70,45 @@ object Sampling {
   private def fresh(existing: Set[String], base: String): String =
     graft.util.Cols.fresh(existing, base)
 
+  /** Deterministic fractional upsampling — the "epochs per source"
+    * mix knob: each row is emitted `floor(factor)` times plus one more
+    * copy when [[idUniform]] of its id lands under the fractional
+    * part (so factor 2.5 means every doc twice and HALF the docs —
+    * always the same half — a third time). Rows whose copy count is 0
+    * (factor < 1 and the coin misses) are dropped, which makes
+    * factors < 1 behave exactly like [[stratified]] at that rate.
+    * Output rows carry `copy_idx` (0-based) so a downstream shuffle
+    * can spread the copies (shuffle on a composite of id and copy_idx
+    * — copies share the id coin by construction).
+    *
+    * Deterministic and engine-replayable like the rest of the mix
+    * family; raising a factor only ever ADDS copies (the integer part
+    * grows monotonically and the same fixed coin gates the fractional
+    * copy), so mixes at different epoch counts are nested. Scale
+    * shape: a narrow map-side explode — zero shuffle, no state.
+    */
+  def upsample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      factors: Map[String, Double],
+      defaultFactor: Double = 1.0
+  ): DataFrame = {
+    require((factors.values ++ Seq(defaultFactor)).forall(f => f >= 0.0 && f <= 1e6),
+      "upsample factors must be in [0, 1e6]")
+    val names = df.columns.toSet
+    val cN = fresh(names, "_ups_n")
+    val f = factors.foldLeft(lit(defaultFactor)) { case (acc, (k, v)) =>
+      when(col(strataCol) === k, lit(v)).otherwise(acc)
+    }
+    val copies =
+      floor(f).cast("long") + when(idUniform(col(idCol)) < f - floor(f), 1L).otherwise(0L)
+    df.withColumn(cN, copies)
+      .where(col(cN) > 0L) // sequence() needs start <= stop
+      .withColumn("copy_idx", explode(sequence(lit(0L), col(cN) - 1L)))
+      .drop(cN)
+  }
+
   /** Per-group token-budget cap: keep rows in deterministic
     * (orderCols) order while the running token total (INCLUDING the
     * current row) stays within `budget` — the "take documents from

@@ -175,6 +175,35 @@ class SamplingSpec extends SparkSpec {
     assert(got.groupBy(_._3).exists(_._2.size > 1)) // multi-doc sequences exist
   }
 
+  test("upsample: exact copy counts vs local replay; raising a factor only adds copies") {
+    import spark.implicits._
+    val rows = (0L until 900L).map(i => (i, Seq("en", "zh", "fr")((i % 3).toInt)))
+    val df = rows.toDF("doc_id", "lang").repartition(9)
+    val factors = Map("en" -> 2.5, "zh" -> 0.5)
+    def copiesOf(id: Long, f: Double): Long =
+      f.floor.toLong + (if (idHash(id) < f - f.floor) 1L else 0L)
+    val got = Sampling.upsample(df, "lang", "doc_id", factors)
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    rows.foreach { case (id, lang) =>
+      val n = copiesOf(id, factors.getOrElse(lang, 1.0))
+      val want = if (n == 0) None else Some((0L until n).toSeq)
+      assert(got.get(id) == want, s"id=$id lang=$lang")
+    }
+    // non-vacuous: some en docs got the third copy, some didn't; some
+    // zh docs dropped entirely; fr untouched at exactly one copy
+    assert(rows.count { case (id, l) => l == "en" && got(id).size == 3 } > 0)
+    assert(rows.count { case (id, l) => l == "en" && got(id).size == 2 } > 0)
+    assert(rows.exists { case (id, l) => l == "zh" && !got.contains(id) })
+    assert(rows.filter(_._2 == "fr").forall { case (id, _) => got(id) == Seq(0L) })
+    // nested mixes: every copy at 2.3 exists at 2.7
+    val lo = Sampling.upsample(df, "lang", "doc_id", Map("en" -> 2.3))
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet
+    val hi = Sampling.upsample(df, "lang", "doc_id", Map("en" -> 2.7))
+      .select("doc_id", "copy_idx").as[(Long, Long)].collect().toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
   test("sequenceTexts: contexts are member texts joined in packing order; every doc appears once") {
     import spark.implicits._
     val df = Seq(
