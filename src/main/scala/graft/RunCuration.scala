@@ -22,7 +22,8 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   *     [--max-dup-fraction F] [--span-action drop|cut] \
   *     [--gopher default | k=v[,k=v...]] \
   *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
-  *     [--rates en=0.5,zh=0.25] [--default-rate F] [--redact] \
+  *     [--rates en=0.5,zh=0.25] [--default-rate F] \
+  *     [--upsample en=2.5,code=4] [--default-upsample F] [--redact] \
   *     [--buckets N] [--fresh]
   *
   * Input contract: corpus table with (doc_id long, text string,
@@ -35,6 +36,19 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   * buckets and finishes the rest — at the 100-TB point that is the
   * difference between resuming and restarting. Resume assumes the SAME
   * input and flags; pass --fresh to clear a stale output dir first.
+  *
+  * --upsample is the epochs-per-source mix knob
+  * ([[graft.sampling.Sampling.upsample]]): the SHIPPED corpus carries
+  * floor(factor) copies of every surviving doc in that stratum plus a
+  * coin-gated extra for the fractional part (rows gain a `copy_idx`
+  * column). It runs AFTER sampling and redaction, so audits that read
+  * per-document decisions (decontam/span/gopher/neardup) are
+  * copy-free while mix_report and the PII pre/post counts see the
+  * shipped multiset. Note --rates and --upsample share the same
+  * deterministic id coin: a stratum sampled at rate r and upsampled
+  * with fractional part f picks correlated subsets by construction —
+  * use rates to shrink a stratum (< 1 epoch) and factors to grow one
+  * (> 1 epoch), not both on the same stratum.
   */
 object RunCuration {
 
@@ -57,6 +71,8 @@ object RunCuration {
       spanMinDf: Int = 2,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
+      upsample: Map[String, Double] = Map.empty,
+      defaultUpsample: Double = 1.0,
       redact: Boolean = false,
       buckets: Int = 32,
       fresh: Boolean = false
@@ -127,11 +143,13 @@ object RunCuration {
         }
       }
 
-  def parseRates(v: String): Map[String, Double] =
+  def parseRates(v: String): Map[String, Double] = parseFactorMap("--rates", v)
+
+  private def parseFactorMap(flag: String, v: String): Map[String, Double] =
     v.split(",").filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
-        case Array(k, r) => k -> numD("--rates", r)
-        case _ => throw new IllegalArgumentException(s"--rates expects k=v[,k=v...], got '$kv'")
+        case Array(k, r) => k -> numD(flag, r)
+        case _ => throw new IllegalArgumentException(s"$flag expects k=v[,k=v...], got '$kv'")
       }
     }.toMap
 
@@ -159,6 +177,10 @@ object RunCuration {
     case "--rates" :: v :: rest => parse(rest, acc.copy(rates = parseRates(v)))
     case "--default-rate" :: v :: rest =>
       parse(rest, acc.copy(defaultRate = numD("--default-rate", v)))
+    case "--upsample" :: v :: rest =>
+      parse(rest, acc.copy(upsample = parseFactorMap("--upsample", v)))
+    case "--default-upsample" :: v :: rest =>
+      parse(rest, acc.copy(defaultUpsample = numD("--default-upsample", v)))
     case "--redact" :: rest => parse(rest, acc.copy(redact = true))
     case "--buckets" :: v :: rest => parse(rest, acc.copy(buckets = numI("--buckets", v)))
     case "--fresh" :: rest => parse(rest, acc.copy(fresh = true))
@@ -184,11 +206,19 @@ object RunCuration {
       s"spanShingleN=${a.spanShingleN}", s"spanMinDf=${a.spanMinDf}",
       s"rates=$rates", s"defaultRate=${a.defaultRate}", s"redact=${a.redact}",
       s"buckets=${a.buckets}"
-      // the gopher segment is emitted only when the stage is on:
-      // gopher-off runs keep the pre-flag fingerprint format, so an
-      // in-flight output dir stays resumable across the upgrade
-    ).++(a.gopher.map(g => s"gopher=$g")).mkString(";")
+      // the gopher/upsample segments are emitted only when their stage
+      // is on: stage-off runs keep the pre-flag fingerprint format, so
+      // an in-flight output dir stays resumable across the upgrade
+    ).++(a.gopher.map(g => s"gopher=$g"))
+      .++(if (upsampleOn(a)) {
+        val fs = a.upsample.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+        Seq(s"upsample=$fs", s"defaultUpsample=${a.defaultUpsample}")
+      } else Nil)
+      .mkString(";")
   }
+
+  private[graft] def upsampleOn(a: Args): Boolean =
+    a.upsample.nonEmpty || a.defaultUpsample != 1.0
 
   /** Pin the run config next to the output: first run records it,
     * every later run must match or pass --fresh (resume is only sound
@@ -270,13 +300,27 @@ object RunCuration {
         // the pinned prefixes a second time
         staged.gopherEvaluated.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.sampled.persist(StorageLevel.MEMORY_AND_DISK) :: Nil
+    // PII scrubbing runs LAST, on the shipped mix only (earlier
+    // stages must see the original text so dedup/decontam semantics
+    // match their oracles). Upsampling expands AFTER the scrub so
+    // the regex rewrite runs once per base row, not once per copy —
+    // the Generate sits above the redaction Project in one stage.
+    def expand(df: DataFrame): DataFrame =
+      if (upsampleOn(a))
+        graft.sampling.Sampling.upsample(df, a.strataCol, a.idCol, a.upsample, a.defaultUpsample)
+      else df
+    val shipped = expand(
+      if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
+      else staged.sampled)
+    // read-backs use the KNOWN schema (shipped cols + the bucket
+    // partition dir): schema inference dies on a legitimately-empty
+    // corpus (every doc filtered) where the dynamic partitioned
+    // write leaves no parquet files — an aggressive config should
+    // ship empty audits, not crash after all the stage work
+    def readCorpus(): DataFrame = spark.read
+      .schema(shipped.schema.add(Materialize.BucketCol, "int"))
+      .parquet(s"${a.out}/corpus")
     try {
-      // PII scrubbing runs LAST, on the shipped mix only (earlier
-      // stages must see the original text so dedup/decontam semantics
-      // match their oracles)
-      val shipped =
-        if (a.redact) staged.sampled.withColumn(a.textCol, graft.text.Redact.redact(col(a.textCol)))
-        else staged.sampled
       val bucketsWritten = Materialize.writeBucketedResumable(
         spark, shipped, s"${a.out}/corpus", a.idCol, a.buckets, Seq(a.strataCol))
 
@@ -340,8 +384,10 @@ object RunCuration {
         // mean a pattern gap, not a failed replace). Pre reads the
         // pinned sampled plan; post reads the corpus parquet just
         // written (one column scan, not a pipeline replay)
-        val pre = piiTotals(staged.sampled, a.textCol)
-        val post = piiTotals(spark.read.parquet(s"${a.out}/corpus"), a.textCol)
+        // pre-counts expand through the same upsampling as the shipped
+        // corpus so pre and post scan the identical doc multiset
+        val pre = piiTotals(expand(staged.sampled), a.textCol)
+        val post = piiTotals(readCorpus(), a.textCol)
         pre.zip(post).map { case ((n, p), (_, q)) => (n, p, q) }
           .toDF("pii_type", "n_pre", "n_post")
           .coalesce(1)
@@ -351,10 +397,13 @@ object RunCuration {
       // character / whitespace-token totals — the one-glance answer to
       // "what did we actually ship". Reads the corpus parquet just
       // written (a two-column scan), never a pipeline replay
-      spark.read.parquet(s"${a.out}/corpus")
+      readCorpus()
         .groupBy(col(a.strataCol).as("stratum"))
         .agg(
           count(lit(1)).as("n_docs"),
+          // with --upsample these differ: n_docs counts shipped copies
+          // (epoch-weighted rows), n_unique_docs the underlying docs
+          countDistinct(col(a.idCol)).as("n_unique_docs"),
           coalesce(sum(length(col(a.textCol)).cast("long")), lit(0L)).as("n_chars"),
           coalesce(sum(graft.text.TextOps.tokenCount(col(a.textCol)).cast("long")), lit(0L))
             .as("n_tokens"))
@@ -364,7 +413,7 @@ object RunCuration {
     } finally pinned.foreach(_.unpersist())
 
     val in = docs.count()
-    val outN = spark.read.parquet(s"${a.out}/corpus").count()
+    val outN = readCorpus().count()
     (in, outN)
   }
 

@@ -254,8 +254,10 @@ class CurationSpec extends SparkSpec {
 
     // mix composition: per-stratum totals over exactly the shipped corpus
     val mix = spark.read.parquet(s"$out/mix_report")
-    assert(mix.columns.toSet == Set("stratum", "n_docs", "n_chars", "n_tokens"))
+    assert(mix.columns.toSet == Set("stratum", "n_docs", "n_unique_docs", "n_chars", "n_tokens"))
     assert(mix.agg(sum(col("n_docs"))).as[Long].head() == ids.size.toLong)
+    // no upsampling: every shipped row is a unique doc
+    assert(mix.where(col("n_docs") =!= col("n_unique_docs")).count() == 0)
     val wantChars = curated.agg(sum(length(col("text")).cast("long"))).as[Long].head()
     assert(mix.agg(sum(col("n_chars"))).as[Long].head() == wantChars)
     assert(mix.where(col("n_tokens") <= 0L).count() == 0)
@@ -279,6 +281,59 @@ class CurationSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(pii.keySet == Set("n_emails", "n_ssns", "n_ips", "n_phones"))
     assert(pii("n_emails")._1 == n2 && pii("n_emails")._2 == 0L)
+  }
+
+  test("RunCuration: --upsample ships epoch copies after redaction; audits see the shipped multiset") {
+    import spark.implicits._
+    val corpus = (0L until 40L).map(i =>
+      (i, s"doc$i unique body with plenty of words number $i end mail$i@x.example",
+        Seq("en", "zh")((i % 2).toInt)))
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching at all").toDF("text")
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_ups_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out,
+      "--shingle-n", "6", "--upsample", "en=2.0", "--redact"))
+    assert(args.upsample == Map("en" -> 2.0) && RunCuration.upsampleOn(args))
+    assert(!RunCuration.upsampleOn(RunCuration.Args())) // stage-off default
+    val (in, outN) = RunCuration.run(spark, corpus, eval, args)
+    assert(in == 40 && outN == 60) // 20 en docs x2 + 20 zh docs x1
+    val shipped = spark.read.parquet(s"$out/corpus")
+    // integral factor 2.0: every en doc exactly copies {0,1}, zh exactly {0}
+    val byId = shipped.select(col("doc_id"), col("copy_idx")).as[(Long, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    (0L until 40L).foreach { i =>
+      val want = if (i % 2 == 0) Seq(0L, 1L) else Seq(0L)
+      assert(byId(i) == want, s"doc $i")
+    }
+    // redaction ran before the expand: every shipped copy is scrubbed
+    assert(shipped.where(col("text").contains("@x.example")).count() == 0)
+    assert(shipped.where(col("text").contains("[EMAIL]")).count() == 60)
+    // mix_report counts shipped copies AND underlying docs
+    val mix = spark.read.parquet(s"$out/mix_report")
+      .select(col("stratum"), col("n_docs"), col("n_unique_docs"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mix("en") == ((40L, 20L)) && mix("zh") == ((20L, 20L)))
+    // PII pre/post scan the same shipped multiset: one email per copy
+    val pii = spark.read.parquet(s"$out/pii_counts")
+      .select(col("pii_type"), col("n_pre"), col("n_post"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(pii("n_emails") == ((60L, 0L)))
+    // resume fail-fast: a re-run with different factors must not mix
+    // old buckets with a new mix config
+    val args2 = args.copy(upsample = Map("en" -> 3.0))
+    intercept[IllegalArgumentException](RunCuration.run(spark, corpus, eval, args2))
+
+    // an aggressive config that filters EVERYTHING ships an empty
+    // corpus and empty audits, not a schema-inference crash on the
+    // file-less dynamic-partitioned output
+    val outE = java.nio.file.Files.createTempDirectory("graft_curation_empty_").toString
+    val argsE = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", outE,
+      "--shingle-n", "6", "--default-rate", "0.0", "--redact"))
+    val (inE, outNE) = RunCuration.run(spark, corpus, eval, argsE)
+    assert(inE == 40 && outNE == 0)
+    assert(spark.read.parquet(s"$outE/mix_report").count() == 0)
   }
 
   test("resumable corpus sink: completed buckets are skipped; RunCuration re-run is a no-op") {
