@@ -145,7 +145,7 @@ object RunCuration {
 
   def parseRates(v: String): Map[String, Double] = parseFactorMap("--rates", v)
 
-  private def parseFactorMap(flag: String, v: String): Map[String, Double] =
+  private[graft] def parseFactorMap(flag: String, v: String): Map[String, Double] =
     v.split(",").filter(_.nonEmpty).map { kv =>
       kv.split("=", 2) match {
         case Array(k, r) => k -> numD(flag, r)
@@ -224,27 +224,9 @@ object RunCuration {
     * every later run must match or pass --fresh (resume is only sound
     * against the same input and flags).
     */
-  private def requireSameConfig(spark: SparkSession, a: Args): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"${a.out}/_curation_config.txt")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp = configFingerprint(a)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val buf = new java.io.ByteArrayOutputStream()
-      val tmp = new Array[Byte](4096)
-      var n = in.read(tmp)
-      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-      in.close()
-      val existing = buf.toString("UTF-8")
-      require(existing == fp,
-        s"output dir ${a.out} was written with a different curation config — resuming would " +
-          s"mix stale buckets with new audits; pass --fresh to rebuild.\n  have: $existing\n  want: $fp")
-    } else {
-      val os = fs.create(p, true)
-      os.write(fp.getBytes("UTF-8"))
-      os.close()
-    }
-  }
+  private def requireSameConfig(spark: SparkSession, a: Args): Unit =
+    graft.util.ConfigPin.pin(spark, s"${a.out}/_curation_config.txt",
+      configFingerprint(a), "pass --fresh to rebuild")
 
   /** Per-type PII totals over a corpus (one aggregation; null sums of
     * an empty corpus fold to 0).

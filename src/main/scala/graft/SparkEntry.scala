@@ -562,6 +562,18 @@ object SparkEntry {
         Map("en" -> 2.5, "zh" -> 0.5), defaultFactor = 1.0)
         .select(col("doc_id"), col("lang"), col("copy_idx"))),
 
+    // ---- training-mix END-TO-END: deterministic shuffle -> next-fit
+    //      packing over the SHUFFLED order (shuffle_pos as the packing
+    //      key: positions are contiguous, so id-chunks are exactly
+    //      runs of the training order) -> assembled contexts. The
+    //      composition RunMix ships, value-pinned as one oracle row.
+    "q_mix_contexts" -> ((s, dir) =>
+      Sampling.sequenceTexts(
+        Sampling.shufflePositions(
+          read(s, dir, "documents").select(col("doc_id"), col("text"), col("n_chars")),
+          "doc_id", buckets = 64),
+        "shuffle_pos", "text", "n_chars", maxTokens = 500L, chunkDocs = 128)),
+
     // ---- training-mix: the assembled contexts — one row per packed
     //      sequence, member texts joined in packing order (the table a
     //      tokenizer consumes); same packing parameters as
@@ -2006,6 +2018,36 @@ object SparkEntry {
           |        % 2147483647 / 2147483647.0 AS u,
           |        CASE lang WHEN 'en' THEN 2.5 WHEN 'zh' THEN 0.5 ELSE 1.0 END AS f
           |      FROM documents)))""".stripMargin,
+      // the end-to-end mix: the recursive-CTE packing walk of
+      // q_pack_sequences, but ordered by the replayed shuffle rank
+      // instead of doc_id — chunks are runs of the training order
+      "q_mix_contexts" ->
+        """WITH RECURSIVE spos AS (
+          |  SELECT text, n_chars, row_number() OVER (ORDER BY u, doc_id) - 1 AS pos FROM (
+          |    SELECT doc_id, text, n_chars,
+          |      (((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
+          |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
+          |      % 2147483647 / 2147483647.0 AS u
+          |    FROM documents)),
+          |mdocs AS (
+          |  SELECT pos, text, n_chars, pos // 128 AS chunk,
+          |    row_number() OVER (PARTITION BY pos // 128 ORDER BY pos) AS rn
+          |  FROM spos),
+          |mrec AS (
+          |  SELECT chunk, rn, pos, text, n_chars,
+          |    0::BIGINT AS seq_local, 0::BIGINT AS seq_offset, n_chars::BIGINT AS run
+          |  FROM mdocs WHERE rn = 1
+          |  UNION ALL
+          |  SELECT d.chunk, d.rn, d.pos, d.text, d.n_chars,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN r.seq_local + 1 ELSE r.seq_local END,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN 0 ELSE r.run END,
+          |    CASE WHEN r.run + d.n_chars > 500 THEN d.n_chars ELSE r.run + d.n_chars END
+          |  FROM mrec r JOIN mdocs d ON d.chunk = r.chunk AND d.rn = r.rn + 1)
+          |SELECT chunk * 128 + seq_local AS seq_id,
+          |  string_agg(text, ' ' ORDER BY seq_offset, pos) AS seq_text,
+          |  count(*) AS n_docs
+          |FROM mrec
+          |GROUP BY 1""".stripMargin,
       // the bucketed two-phase rank collapses to one global row_number
       // in the oracle — same two-residue coin (replayed digit-for-digit,
       // see q_sample_stratified), ties broken by id

@@ -303,8 +303,21 @@ object Sampling {
       maxTokens: Long,
       chunkDocs: Int = 4096,
       sep: String = " "
+  ): DataFrame =
+    sequenceTextsFromAssignment(
+      df, packSequences(df, idCol, tokensCol, maxTokens, chunkDocs), idCol, textCol, sep)
+
+  /** [[sequenceTexts]] over a PRECOMPUTED [[packSequences]] assignment
+    * — for callers that also persist/write the assignment itself (the
+    * lineage table) and must not pay the packing walk twice.
+    */
+  def sequenceTextsFromAssignment(
+      df: DataFrame,
+      assigned: DataFrame, // (idCol, seq_id, seq_offset, ...)
+      idCol: String,
+      textCol: String,
+      sep: String = " "
   ): DataFrame = {
-    val assigned = packSequences(df, idCol, tokensCol, maxTokens, chunkDocs)
     val names = df.columns.toSet
     val cM = fresh(names, "_sq_m")
     assigned
