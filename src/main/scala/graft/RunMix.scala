@@ -20,6 +20,9 @@ import graft.text.TextOps
   *                  seq_offset) — which doc copy landed where
   *   mix_manifest/  one row: input/mixed/sequence counts, token
   *                  totals, max sequence tokens, mean fill fraction
+  *   mix_report/    per-stratum rows/unique-docs/tokens of the mixed
+  *                  stream packing consumed (written when the corpus
+  *                  carries the strata column)
   *
   *   spark-submit --class graft.RunMix <jar> \
   *     --corpus <parquetDir> --out <dir> \
@@ -27,6 +30,10 @@ import graft.text.TextOps
   *     [--tokens-col C]   (precomputed token counts; default counts
   *                         whitespace tokens of the text column) \
   *     [--upsample k=v[,k=v...]] [--default-upsample F] \
+  *     [--token-budget N]  (per-stratum cap in deterministic id
+  *                          order, applied after upsampling — epoch
+  *                          copies spend budget — and before the
+  *                          shuffle) \
   *     [--max-tokens N] [--chunk-docs N] [--shuffle-buckets N] \
   *     [--sep S] [--buckets N] [--fresh]
   *
@@ -63,6 +70,7 @@ object RunMix {
       tokensCol: Option[String] = None,
       upsample: Map[String, Double] = Map.empty,
       defaultUpsample: Double = 1.0,
+      tokenBudget: Option[Long] = None,
       maxTokens: Long = 2048L,
       chunkDocs: Int = 4096,
       shuffleBuckets: Int = 4096,
@@ -97,6 +105,8 @@ object RunMix {
       parse(rest, acc.copy(upsample = RunCuration.parseFactorMap("--upsample", v)))
     case "--default-upsample" :: v :: rest =>
       parse(rest, acc.copy(defaultUpsample = numD("--default-upsample", v)))
+    case "--token-budget" :: v :: rest =>
+      parse(rest, acc.copy(tokenBudget = Some(numL("--token-budget", v))))
     case "--max-tokens" :: v :: rest => parse(rest, acc.copy(maxTokens = numL("--max-tokens", v)))
     case "--chunk-docs" :: v :: rest => parse(rest, acc.copy(chunkDocs = numI("--chunk-docs", v)))
     case "--shuffle-buckets" :: v :: rest =>
@@ -117,6 +127,7 @@ object RunMix {
       s"corpus=${a.corpus}", s"idCol=${a.idCol}", s"textCol=${a.textCol}",
       s"strataCol=${a.strataCol}", s"tokensCol=${a.tokensCol}",
       s"upsample=$ups", s"defaultUpsample=${a.defaultUpsample}",
+      s"tokenBudget=${a.tokenBudget}",
       s"maxTokens=${a.maxTokens}", s"chunkDocs=${a.chunkDocs}",
       s"shuffleBuckets=${a.shuffleBuckets}", s"sep=${a.sep}", s"buckets=${a.buckets}"
     ).mkString(";")
@@ -146,14 +157,23 @@ object RunMix {
     val names = mixed0.columns.toSet
     val cKey = graft.util.Cols.fresh(names, "_mix_key")
     val cTok = a.tokensCol.getOrElse(graft.util.Cols.fresh(names + cKey, "n_tokens"))
+    val withTok = mixed0.withColumn(cTok,
+      if (a.tokensCol.isDefined) col(cTok).cast("long")
+      else TextOps.tokenCount(col(a.textCol)).cast("long"))
+    // optional per-stratum token budget ("take documents from each
+    // source until its budget is spent"), in deterministic id order,
+    // BEFORE the shuffle — the chunked two-phase scan, so a
+    // billion-doc stratum never lands in one task
+    val capped = a.tokenBudget.fold(withTok) { b =>
+      require(withTok.columns.contains(a.strataCol),
+        s"--token-budget needs the strata column '${a.strataCol}' on the corpus")
+      Sampling.tokenBudgetCap(withTok, a.strataCol,
+        if (hasCopies) Seq(a.idCol, "copy_idx") else Seq(a.idCol), cTok, b)
+    }
     // shuffle key: the raw id, or a hash composite when epoch copies
     // share the id (each copy must land at its own position)
-    val keyed = mixed0
-      .withColumn(cKey,
-        if (hasCopies) xxhash64(col(a.idCol), col("copy_idx")) else col(a.idCol).cast("long"))
-      .withColumn(cTok,
-        if (a.tokensCol.isDefined) col(cTok).cast("long")
-        else TextOps.tokenCount(col(a.textCol)).cast("long"))
+    val keyed = capped.withColumn(cKey,
+      if (hasCopies) xxhash64(col(a.idCol), col("copy_idx")) else col(a.idCol).cast("long"))
     val positioned = Sampling.shufflePositions(keyed, cKey, a.shuffleBuckets).drop(cKey)
 
     // the packing walk + the context assembly + the manifest all read
@@ -197,6 +217,20 @@ object RunMix {
               .otherwise(lit(0.0)))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"${a.out}/mix_manifest")
+
+        // per-stratum composition of the mixed stream (post-upsample,
+        // post-budget — what packing actually consumed), when the
+        // corpus carries the strata column
+        if (pinned.columns.contains(a.strataCol)) {
+          pinned
+            .groupBy(col(a.strataCol).as("stratum"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col(a.idCol)).as("n_unique_docs"),
+              coalesce(sum(col(cTok)), lit(0L)).as("n_tokens"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"${a.out}/mix_report")
+        }
 
         System.err.println(s"[mix] wrote $seqsWritten/${a.buckets} pending context buckets")
         val mixedRows = pinned.count()

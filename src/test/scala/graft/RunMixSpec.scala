@@ -82,5 +82,38 @@ class RunMixSpec extends SparkSpec {
     // contexts carry every copy: member counts add up to the mixed rows
     val nd = spark.read.parquet(s"$out/contexts").agg(sum(col("n_docs"))).as[Long].head()
     assert(nd == 180L)
+    // per-stratum composition of the mixed stream packing consumed
+    val mix = spark.read.parquet(s"$out/mix_report")
+      .select(col("stratum"), col("n_rows"), col("n_unique_docs"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(mix("en") == ((120L, 60L)) && mix("zh") == ((60L, 60L)))
+  }
+
+  test("RunMix: --token-budget caps each stratum in id order before the shuffle") {
+    import spark.implicits._
+    val docs = corpus()
+    val out = java.nio.file.Files.createTempDirectory("graft_mix_budget_").toString
+    val a = RunMix.parse(List(
+      "--corpus", "u", "--out", out, "--token-budget", "60",
+      "--max-tokens", "24", "--chunk-docs", "16", "--shuffle-buckets", "8"))
+    assert(a.tokenBudget.contains(60L))
+    val (mixedRows, _) = RunMix.run(spark, docs, a)
+    // local replay: per stratum, keep docs in id order while the
+    // running whitespace-token total stays within 60
+    val toks = docs.select(col("doc_id"), col("lang"),
+        graft.text.TextOps.tokenCount(col("text")).cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val want = toks.groupBy(_._2).values.flatMap { g =>
+      var run = 0L
+      g.sortBy(_._1).takeWhile { case (_, _, t) => run += t; run <= 60L }
+    }.map(_._1).toSet
+    assert(want.nonEmpty && want.size < 120) // the cap bites, non-vacuously
+    assert(mixedRows == want.size.toLong)
+    val got = spark.read.parquet(s"$out/assignments")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(got == want)
+    // the report reflects the capped stream
+    val mix = spark.read.parquet(s"$out/mix_report")
+    assert(mix.agg(sum(col("n_tokens"))).as[Long].head() <= 120L) // 60 per stratum x2
   }
 }
