@@ -151,6 +151,13 @@ object RunMix {
       if (upsampleOn(a)) {
         require(corpus.columns.contains(a.strataCol),
           s"--upsample needs the strata column '${a.strataCol}' on the corpus")
+        // a corpus that already carries copy_idx was upsampled upstream
+        // (RunCuration --upsample); re-upsampling would overwrite the
+        // copy index and mint duplicate (id, copy_idx) pairs — i.e.
+        // nondeterministic positions. Epochs are applied exactly once.
+        require(!corpus.columns.contains("copy_idx"),
+          "corpus already carries epoch copies (copy_idx) — drop --upsample here or " +
+            "re-run the upstream step without it")
         Sampling.upsample(corpus, a.strataCol, a.idCol, a.upsample, a.defaultUpsample)
       } else corpus
     val hasCopies = mixed0.columns.contains("copy_idx")

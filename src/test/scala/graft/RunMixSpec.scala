@@ -116,4 +116,13 @@ class RunMixSpec extends SparkSpec {
     val mix = spark.read.parquet(s"$out/mix_report")
     assert(mix.agg(sum(col("n_tokens"))).as[Long].head() <= 120L) // 60 per stratum x2
   }
+
+  test("RunMix: re-upsampling an already-upsampled corpus fails fast") {
+    import spark.implicits._
+    val withCopies = Seq((1L, "some text", "en", 0L), (1L, "some text", "en", 1L))
+      .toDF("doc_id", "text", "lang", "copy_idx")
+    val out = java.nio.file.Files.createTempDirectory("graft_mix_dup_").toString
+    val a = RunMix.parse(List("--corpus", "u", "--out", out, "--upsample", "en=2.0"))
+    intercept[IllegalArgumentException](RunMix.run(spark, withCopies, a))
+  }
 }
