@@ -939,6 +939,39 @@ object SparkEntry {
           col("passes").cast("long").as("passes"))
     }),
 
+    // ---- Gopher LINE rules (dup-line / dup-line-chars / bullet /
+    //      ellipsis fractions) over a deterministically re-lined
+    //      corpus: the single-line documents are broken into 3-word
+    //      lines, every doc_id%3==0 doc gets its lines bulleted and
+    //      every doc_id%4==0 doc gets ellipsis line endings, and every
+    //      doc_id%5==0 doc has its whole line block doubled, so each
+    //      rule decides both ways. Signals are scan-side HOF Columns —
+    //      no shuffle.
+    "q_gopher_lines" -> ((s, dir) => {
+      val nl = regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")
+      val bul = when(col("doc_id") % 3 === 0,
+        concat(lit("- "), regexp_replace(nl, "\n", "\n- "))).otherwise(nl)
+      val ell = when(col("doc_id") % 4 === 0,
+        concat(regexp_replace(bul, "\n", "...\n"), lit("..."))).otherwise(bul)
+      val mlt = when(col("doc_id") % 5 === 0, concat(ell, lit("\n"), ell)).otherwise(ell)
+      graft.text.Repetition
+        .addLineFlags(
+          read(s, dir, "documents").select(col("doc_id"), mlt.as("mtext")), "mtext")
+        .select(
+          col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_distinct_lines").cast("long").as("n_distinct_lines"),
+          col("dup_line_fraction"),
+          col("dup_line_char_fraction"),
+          col("bullet_line_fraction"),
+          col("ellipsis_line_fraction"),
+          col("dup_line_ok").cast("long").as("dup_line_ok"),
+          col("dup_line_chars_ok").cast("long").as("dup_line_chars_ok"),
+          col("bullet_ok").cast("long").as("bullet_ok"),
+          col("ellipsis_ok").cast("long").as("ellipsis_ok"),
+          col("line_passes").cast("long").as("line_passes"))
+    }),
+
     // ---- J1: nearest-neighbor enrichment join (broadcast dim, argmin)
     "q_nn_enrich" -> ((s, dir) => {
       // dim: per event_type avg value (5 rows); each supplier gets the
@@ -2563,7 +2596,65 @@ object SparkEntry {
            |  CAST(CASE WHEN dup_unit_fraction <= 0.6 THEN 1 ELSE 0 END AS BIGINT) AS dup_unit_ok,
            |  CAST(CASE WHEN top_ngram_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS top_ngram_ok,
            |  CAST(CASE WHEN $gopherPassPred THEN 1 ELSE 0 END AS BIGINT) AS passes
-           |FROM sig""".stripMargin
+           |FROM sig""".stripMargin,
+
+      // replays the deterministic re-lining (3-word lines; %3 docs
+      // bulleted, %4 docs ellipsis-terminated, %5 docs' line block
+      // doubled) then the four line-rule signals over
+      // trimmed/lowercased non-empty lines
+      "q_gopher_lines" ->
+        """WITH mlt AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 0 THEN e || chr(10) || e ELSE e END AS mtext
+          |  FROM (
+          |    SELECT doc_id,
+          |      CASE WHEN doc_id % 4 = 0 THEN replace(b, chr(10), '...' || chr(10)) || '...'
+          |           ELSE b END AS e
+          |    FROM (
+          |      SELECT doc_id,
+          |        CASE WHEN doc_id % 3 = 0 THEN '- ' || replace(nl, chr(10), chr(10) || '- ')
+          |             ELSE nl END AS b
+          |      FROM (
+          |        SELECT doc_id,
+          |          regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS nl
+          |        FROM documents) t1) t2) t3),
+          |llines AS (
+          |  SELECT doc_id,
+          |    list_filter(list_transform(string_split(mtext, chr(10)), x -> lower(trim(x))),
+          |                x -> x <> '') AS ln
+          |  FROM mlt),
+          |lbase AS (
+          |  SELECT doc_id, len(ln) AS n, len(list_distinct(ln)) AS d,
+          |    coalesce(list_sum(list_transform(ln, x -> len(x))), 0) AS tot_chars,
+          |    len(list_filter(ln, x -> regexp_matches(x, '^[-*•]'))) AS bullets,
+          |    len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS ells
+          |  FROM llines),
+          |lcnt AS (
+          |  SELECT doc_id, line, count(*) AS cnt
+          |  FROM (SELECT doc_id, unnest(ln) AS line FROM llines) u GROUP BY 1, 2),
+          |ldup AS (
+          |  SELECT doc_id,
+          |    sum(CASE WHEN cnt >= 2 THEN cnt * len(line) ELSE 0 END) AS dup_chars
+          |  FROM lcnt GROUP BY 1),
+          |lfr AS (
+          |  SELECT b.doc_id,
+          |    CAST(b.n AS BIGINT) AS n_lines, CAST(b.d AS BIGINT) AS n_distinct_lines,
+          |    CASE WHEN b.n > 0 THEN round((b.n - b.d) / b.n, 6) ELSE 0.0 END AS dup_line_fraction,
+          |    CASE WHEN b.tot_chars > 0 THEN round(coalesce(dp.dup_chars, 0) / b.tot_chars, 6)
+          |         ELSE 0.0 END AS dup_line_char_fraction,
+          |    CASE WHEN b.n > 0 THEN round(b.bullets / b.n, 6) ELSE 0.0 END AS bullet_line_fraction,
+          |    CASE WHEN b.n > 0 THEN round(b.ells / b.n, 6) ELSE 0.0 END AS ellipsis_line_fraction
+          |  FROM lbase b LEFT JOIN ldup dp USING (doc_id))
+          |SELECT doc_id, n_lines, n_distinct_lines, dup_line_fraction,
+          |  dup_line_char_fraction, bullet_line_fraction, ellipsis_line_fraction,
+          |  CAST(CASE WHEN dup_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_ok,
+          |  CAST(CASE WHEN dup_line_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_chars_ok,
+          |  CAST(CASE WHEN bullet_line_fraction <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
+          |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
+          |  CAST(CASE WHEN dup_line_fraction <= 0.3 AND dup_line_char_fraction <= 0.2
+          |             AND bullet_line_fraction <= 0.9 AND ellipsis_line_fraction <= 0.3
+          |        THEN 1 ELSE 0 END AS BIGINT) AS line_passes
+          |FROM lfr""".stripMargin
     )
   }
 }

@@ -221,6 +221,103 @@ object Repetition {
       .drop(cU)
   }
 
+  /** Gopher-style LINE rules for multi-line documents (Rae et al. 2021
+    * Table A1's line family): fraction of duplicate lines / of
+    * characters inside duplicate lines, and the fraction of lines
+    * starting with a bullet or ending with an ellipsis. The word-level
+    * rules ([[addGopherFlags]]) cannot see these — a scraped page whose
+    * every line is `- item ...` has perfectly ordinary word statistics.
+    *
+    * Lines are the `unitSep = "\n"` repetition units (trimmed,
+    * lowercased, empties dropped — bullet/ellipsis glyphs are
+    * case-stable so one array serves all four signals). Same scale
+    * shape as [[addSignals]]: pure scan-side Column expressions, one
+    * `array_sort` + linear `aggregate` per document, no UDF, no
+    * shuffle. Empty / single-line / null documents profile as zeros
+    * (and therefore pass — a one-line doc has no line-repetition
+    * evidence against it).
+    *
+    * Adds `n_lines`, `n_distinct_lines`, `dup_line_fraction`,
+    * `dup_line_char_fraction`, `bullet_line_fraction`,
+    * `ellipsis_line_fraction`, one `_ok` flag per rule, and
+    * `line_passes` = their conjunction. Fractions are `round(·, 6)`
+    * for cross-engine replay.
+    */
+  def addLineFlags(
+      df: DataFrame,
+      textCol: String,
+      maxDupLineFraction: Double = 0.3,
+      maxDupLineCharFraction: Double = 0.2,
+      maxBulletLineFraction: Double = 0.9,
+      maxEllipsisLineFraction: Double = 0.3
+  ): DataFrame = {
+    import graft.util.Cols.fresh
+    val cL = fresh(df.columns.toSet, "_rep_l")
+    val l = col(cL)
+    val n = size(l)
+    val totChars = aggregate(l, lit(0L), (acc, x) => acc + length(x))
+    def frac(num: Column): Column =
+      when(n > 0, round(num.cast("double") / n, 6)).otherwise(lit(0.0))
+    df.withColumn(cL, units(col(textCol), "\n"))
+      .withColumn("n_lines", n)
+      .withColumn("n_distinct_lines", size(array_distinct(l)))
+      .withColumn("dup_line_fraction", frac(n - col("n_distinct_lines")))
+      .withColumn(
+        "dup_line_char_fraction",
+        when(totChars > 0, round(dupRunChars(array_sort(l)).cast("double") / totChars, 6))
+          .otherwise(lit(0.0)))
+      .withColumn("bullet_line_fraction", frac(size(filter(l, x => x.rlike(BulletPat)))))
+      .withColumn("ellipsis_line_fraction", frac(size(filter(l, x => x.rlike(EllipsisPat)))))
+      .withColumn("dup_line_ok", col("dup_line_fraction") <= maxDupLineFraction)
+      .withColumn("dup_line_chars_ok", col("dup_line_char_fraction") <= maxDupLineCharFraction)
+      .withColumn("bullet_ok", col("bullet_line_fraction") <= maxBulletLineFraction)
+      .withColumn("ellipsis_ok", col("ellipsis_line_fraction") <= maxEllipsisLineFraction)
+      .withColumn(
+        "line_passes",
+        col("dup_line_ok") && col("dup_line_chars_ok") &&
+          col("bullet_ok") && col("ellipsis_ok"))
+      .drop(cL)
+  }
+
+  /** Line starts with a bullet glyph (after the units() trim). */
+  private val BulletPat = "^[-*•]"
+
+  /** Line ends with a three-dot or single-glyph ellipsis. */
+  private val EllipsisPat = "(\\.\\.\\.|…)$"
+
+  /** The line-rule conjunction as ONE predicate Column (the filter
+    * form of [[addLineFlags]], mirroring [[gopherPasses]]): the line
+    * array is tokenized once via the same one-element-`transform`
+    * let-binding, thresholds compare the same `round(·, 6)` values, so
+    * a doc passes here iff its `line_passes` flag is true (pinned by
+    * spec).
+    */
+  def gopherLinePasses(
+      text: Column,
+      maxDupLineFraction: Double = 0.3,
+      maxDupLineCharFraction: Double = 0.2,
+      maxBulletLineFraction: Double = 0.9,
+      maxEllipsisLineFraction: Double = 0.3
+  ): Column =
+    element_at(
+      transform(
+        array(units(text, "\n")),
+        l => {
+          val n = size(l)
+          val totChars = aggregate(l, lit(0L), (acc, x) => acc + length(x))
+          def frac(num: Column): Column =
+            when(n > 0, round(num.cast("double") / n, 6)).otherwise(lit(0.0))
+          val dupFrac = frac(n - size(array_distinct(l)))
+          val dupCharFrac =
+            when(totChars > 0, round(dupRunChars(array_sort(l)).cast("double") / totChars, 6))
+              .otherwise(lit(0.0))
+          dupFrac <= maxDupLineFraction &&
+            dupCharFrac <= maxDupLineCharFraction &&
+            frac(size(filter(l, x => x.rlike(BulletPat)))) <= maxBulletLineFraction &&
+            frac(size(filter(l, x => x.rlike(EllipsisPat)))) <= maxEllipsisLineFraction
+        }),
+      lit(1))
+
   /** The whole Gopher rule conjunction as ONE predicate Column — the
     * form a curation pipeline filters with (`df.where(gopherPasses(
     * col("text")))`): no added columns to drop, fuses with neighboring

@@ -159,6 +159,68 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("addLineFlags: hand-computed multi-line document") {
+    import spark.implicits._
+    val df = Seq((1L, "- A b ...\n- a B ...\nc")).toDF("doc_id", "text")
+    val r = Repetition.addLineFlags(df, "text")
+      .select(
+        "n_lines", "n_distinct_lines", "dup_line_fraction", "dup_line_char_fraction",
+        "bullet_line_fraction", "ellipsis_line_fraction",
+        "dup_line_ok", "dup_line_chars_ok", "bullet_ok", "ellipsis_ok", "line_passes")
+      .as[(Int, Int, Double, Double, Double, Double, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .head()
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    // lowercased lines: ["- a b ...", "- a b ...", "c"]
+    assert(r._1 == 3 && r._2 == 2)
+    assert(r._3 == r6(1.0 / 3.0))
+    assert(r._4 == r6(18.0 / 19.0)) // 2 x 9 dup chars over 9+9+1
+    assert(r._5 == r6(2.0 / 3.0) && r._6 == r6(2.0 / 3.0))
+    // defaults: dup 0.33>0.3 fail, dup chars 0.95>0.2 fail,
+    // bullets 0.67<=0.9 ok, ellipsis 0.67>0.3 fail
+    assert(r._7 == false && r._8 == false && r._9 == true && r._10 == false)
+    assert(r._11 == false)
+  }
+
+  test("addLineFlags: single-line, empty and null docs profile as zeros and pass") {
+    import spark.implicits._
+    val df = Seq((1L, "one plain line"), (2L, "   "), (3L, null: String))
+      .toDF("doc_id", "text")
+    val rows = Repetition.addLineFlags(df, "text")
+      .select("doc_id", "n_lines", "dup_line_fraction", "bullet_line_fraction", "line_passes")
+      .as[(Long, Int, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows(0) == ((1L, 1, 0.0, 0.0, true)))
+    assert(rows(1) == ((2L, 0, 0.0, 0.0, true)))
+    assert(rows(2) == ((3L, 0, 0.0, 0.0, true)))
+  }
+
+  test("gopherLinePasses: the fused predicate equals addLineFlags' line_passes column") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817L)
+    val bodies = Vector("alpha beta", "gamma delta", "repeat me", "epsilon")
+    val corpus = (0L until 150L).map { i =>
+      val n = rnd.nextInt(8)
+      val lines = (0 until n).map { _ =>
+        val base = bodies(rnd.nextInt(bodies.length))
+        val b = if (rnd.nextInt(3) == 0) s"- $base" else base
+        if (rnd.nextInt(3) == 0) s"$b..." else b
+      }
+      (i, lines.mkString("\n"))
+    } :+ (150L, null.asInstanceOf[String]) :+ (151L, "\n\n")
+    val df = corpus.toDF("doc_id", "text")
+    for ((mdup, mchar, mbul, mell) <- Seq((0.3, 0.2, 0.9, 0.3), (0.6, 0.5, 0.2, 0.1))) {
+      val viaFlags = Repetition
+        .addLineFlags(df, "text", mdup, mchar, mbul, mell)
+        .select(col("doc_id"), col("line_passes"))
+        .as[(Long, Boolean)].collect().toMap
+      val viaPred = df
+        .select(col("doc_id"),
+          Repetition.gopherLinePasses(col("text"), mdup, mchar, mbul, mell).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(viaFlags == viaPred)
+      assert(viaFlags.values.exists(identity) && viaFlags.values.exists(!_))
+    }
+  }
+
   test("streaming: signals and gopher predicate at ingestion match batch digit-for-digit") {
     // every signal is a stateless per-row projection, so the profile
     // (and the rule gate) can run AT INGESTION on a stream with no
