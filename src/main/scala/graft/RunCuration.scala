@@ -12,8 +12,9 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   * audit tables a data owner wants next to the mix (the contamination
   * report, the per-doc span profile when the boilerplate stage is on,
   * the near-dup pair/cluster tables when that stage is on, the
-  * per-rule gopher flag counts when the repetition-rule stage is on,
-  * and the pre/post PII counts when redaction is on).
+  * per-rule gopher flag counts when a repetition-rule stage is on —
+  * word family and/or line family, one report table each — and the
+  * pre/post PII counts when redaction is on).
   *
   *   spark-submit --class graft.RunCuration <jar> \
   *     --docs <parquetDir> --eval <parquetDir> --out <dir> \
@@ -21,6 +22,7 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   *     [--neardup exact:<t>[:<shingleN>] | lsh:<t>[:<shingleN>[:<bands>:<rows>]]] \
   *     [--max-dup-fraction F] [--span-action drop|cut] \
   *     [--gopher default | k=v[,k=v...]] \
+  *     [--gopher-lines default | k=v[,k=v...]] \
   *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
   *     [--rates en=0.5,zh=0.25] [--default-rate F] \
   *     [--upsample en=2.5,code=4] [--default-upsample F] [--redact] \
@@ -66,6 +68,7 @@ object RunCuration {
       maxDupFraction: Option[Double] = None,
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[Curation.GopherRules] = None,
+      gopherLines: Option[Curation.GopherLineRules] = None,
       shingleN: Int = 13,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
@@ -143,6 +146,29 @@ object RunCuration {
         }
       }
 
+  /** `default` for the stock line-rule thresholds, or `k=v[,k=v...]`
+    * overriding them (keys: max-dup-line-fraction,
+    * max-dup-line-char-fraction, max-bullet-fraction,
+    * max-ellipsis-fraction); unknown keys fail fast.
+    */
+  def parseGopherLines(v: String): Curation.GopherLineRules =
+    if (v == "default") Curation.GopherLineRules()
+    else
+      v.split(",").filter(_.nonEmpty).foldLeft(Curation.GopherLineRules()) { (r, kv) =>
+        kv.split("=", 2) match {
+          case Array("max-dup-line-fraction", x) =>
+            r.copy(maxDupLineFraction = numD("--gopher-lines max-dup-line-fraction", x))
+          case Array("max-dup-line-char-fraction", x) =>
+            r.copy(maxDupLineCharFraction = numD("--gopher-lines max-dup-line-char-fraction", x))
+          case Array("max-bullet-fraction", x) =>
+            r.copy(maxBulletLineFraction = numD("--gopher-lines max-bullet-fraction", x))
+          case Array("max-ellipsis-fraction", x) =>
+            r.copy(maxEllipsisLineFraction = numD("--gopher-lines max-ellipsis-fraction", x))
+          case _ => throw new IllegalArgumentException(
+            s"--gopher-lines expects default | k=v[,k=v...] with known keys, got '$kv'")
+        }
+      }
+
   def parseRates(v: String): Map[String, Double] = parseFactorMap("--rates", v)
 
   private[graft] def parseFactorMap(flag: String, v: String): Map[String, Double] =
@@ -169,6 +195,8 @@ object RunCuration {
       parse(rest, acc.copy(maxDupFraction = Some(numD("--max-dup-fraction", v))))
     case "--span-action" :: v :: rest => parse(rest, acc.copy(spanAction = parseSpanAction(v)))
     case "--gopher" :: v :: rest => parse(rest, acc.copy(gopher = Some(parseGopher(v))))
+    case "--gopher-lines" :: v :: rest =>
+      parse(rest, acc.copy(gopherLines = Some(parseGopherLines(v))))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
@@ -210,6 +238,7 @@ object RunCuration {
       // is on: stage-off runs keep the pre-flag fingerprint format, so
       // an in-flight output dir stays resumable across the upgrade
     ).++(a.gopher.map(g => s"gopher=$g"))
+      .++(a.gopherLines.map(g => s"gopherLines=$g"))
       .++(if (upsampleOn(a)) {
         val fs = a.upsample.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
         Seq(s"upsample=$fs", s"defaultUpsample=${a.defaultUpsample}")
@@ -241,6 +270,16 @@ object RunCuration {
     }
   }
 
+  // shared audit-aggregation helpers (gopher_report / gopher_line_report):
+  // flag counts and signal distributions as non-null values even over an
+  // empty evaluated corpus (sum/percentile of nothing is NULL; the audit
+  // contract is concrete zeros — same fold piiTotals does)
+  private def cnt(c: String) =
+    coalesce(sum(when(col(c), 1L).otherwise(0L)), lit(0L)).as(s"n_$c")
+  private def pct(c: String, p: Double) =
+    coalesce(round(percentile(col(c), lit(p)), 6), lit(0.0)).as(f"p${(p * 100).toInt}%d_$c")
+  private def mx(c: String) = coalesce(max(col(c)), lit(0.0)).as(s"max_$c")
+
   /** Composable core (spec-tested): curate, write the curated corpus
     * through the resumable bucket-ledger sink, write the audit tables
     * (decontam report always; span profile when the boilerplate stage
@@ -261,7 +300,7 @@ object RunCuration {
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
       a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf,
-      a.spanAction, a.gopher)
+      a.spanAction, a.gopher, a.gopherLines)
     // several writes + count/audit aggregations consume the staged
     // plans; without pinning, EACH action would replay the dedup +
     // near-dup pair join (the dominant cost) from scratch. Persist the
@@ -337,16 +376,10 @@ object RunCuration {
           minAlphaWordFraction = r.minAlphaWordFraction,
           maxDupUnitFraction = r.maxDupUnitFraction,
           maxTopNgramCharFraction = r.maxTopNgramCharFraction)
-        // coalesce: sum over an empty evaluated corpus is NULL, and
-        // the audit contract is non-null longs (same fold piiTotals does)
-        def cnt(c: String) = coalesce(sum(when(col(c), 1L).otherwise(0L)), lit(0L)).as(s"n_$c")
         // signal distribution alongside the rule counts — the numbers an
         // operator tunes thresholds FROM (exact percentile: sorts the
         // already-round(·,6) signal values, deterministic under any
         // partitioning; approx sketches merge order-dependently)
-        def pct(c: String, p: Double) =
-          coalesce(round(percentile(col(c), lit(p)), 6), lit(0.0)).as(f"p${(p * 100).toInt}%d_$c")
-        def mx(c: String) = coalesce(max(col(c)), lit(0.0)).as(s"max_$c")
         flagged
           .agg(count(lit(1)).as("n_evaluated"), cnt("words_ok"), cnt("word_len_ok"),
             cnt("alpha_ok"), cnt("dup_unit_ok"), cnt("top_ngram_ok"), cnt("passes"),
@@ -358,6 +391,30 @@ object RunCuration {
               .as("p50_word_count"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"${a.out}/gopher_report")
+      }
+      a.gopherLines.zip(staged.gopherEvaluated).foreach { case (r, evaluated) =>
+        // the line-family twin of gopher_report: per-rule pass counts
+        // and signal distributions over the same evaluated corpus (each
+        // family's report shows its OWN bite at these thresholds; with
+        // both stages on the final survivor count is their conjunction)
+        val flagged = graft.text.Repetition.addLineFlags(
+          evaluated.select(col(a.idCol), col(a.textCol)), a.textCol,
+          maxDupLineFraction = r.maxDupLineFraction,
+          maxDupLineCharFraction = r.maxDupLineCharFraction,
+          maxBulletLineFraction = r.maxBulletLineFraction,
+          maxEllipsisLineFraction = r.maxEllipsisLineFraction)
+        flagged
+          .agg(count(lit(1)).as("n_evaluated"),
+            cnt("dup_line_ok"), cnt("dup_line_chars_ok"), cnt("bullet_ok"),
+            cnt("ellipsis_ok"), cnt("line_passes"),
+            pct("dup_line_fraction", 0.5), pct("dup_line_fraction", 0.9),
+            mx("dup_line_fraction"),
+            pct("dup_line_char_fraction", 0.9), mx("dup_line_char_fraction"),
+            pct("bullet_line_fraction", 0.9), pct("ellipsis_line_fraction", 0.9),
+            coalesce(round(percentile(col("n_lines"), lit(0.5)), 1), lit(0.0))
+              .as("p50_n_lines"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"${a.out}/gopher_line_report")
       }
       if (a.redact) {
         // pre/post scrub counts per PII type over the SHIPPED mix —

@@ -50,6 +50,24 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Deterministic re-lining of the single-line documents corpus into
+    * a multi-line one (3-word lines; every doc_id%3==0 doc gets its
+    * lines bulleted, every %4==0 doc ellipsis-terminated line endings,
+    * every %5==0 doc its whole line block doubled) — the shared input
+    * of the line-rule queries (q_gopher_lines, q_curate_gopher_lines),
+    * built so each line rule decides both ways. Mirrored by the
+    * relineCtes oracle fragment.
+    */
+  private def relinedDocs(s: SparkSession, dir: String): DataFrame = {
+    val nl = regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")
+    val bul = when(col("doc_id") % 3 === 0,
+      concat(lit("- "), regexp_replace(nl, "\n", "\n- "))).otherwise(nl)
+    val ell = when(col("doc_id") % 4 === 0,
+      concat(regexp_replace(bul, "\n", "...\n"), lit("..."))).otherwise(bul)
+    val mlt = when(col("doc_id") % 5 === 0, concat(ell, lit("\n"), ell)).otherwise(ell)
+    read(s, dir, "documents").select(col("doc_id"), mlt.as("text"), col("lang"))
+  }
+
   /** IVF recall@5 floor (q_ann_ivf_recall_guard). Measured sweep
     * (tools/ApproxParityProbe, shipped nProbe=8/kmeansIters=5 config):
     * recall plateaus ~0.8 on both driver corpora — the synthetic
@@ -497,6 +515,27 @@ object SparkEntry {
         shingleN = 6,
         gopher = Some(Curation.GopherRules(minWords = 20, minMeanWordLen = 4.0,
           maxDupUnitFraction = 0.6)))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- the curation chain with the Gopher LINE-rule stage over the
+    //      deterministically re-lined corpus (the q_gopher_lines
+    //      input): Repetition.gopherLinePasses fused into the quality
+    //      filter at the default thresholds, which bite on the %3
+    //      (bullets), %4 (ellipsis) and %5 (doubled line block) docs —
+    //      the survivor set differs from the unruled chain non-vacuously
+    "q_curate_gopher_lines" -> ((s, dir) => {
+      val docs = relinedDocs(s, dir)
+      Curation.curate(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0).select(col("text")),
+        "doc_id", "text", "lang", "text",
+        minTokens = 20,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1,
+        shingleN = 6,
+        gopherLines = Some(Curation.GopherLineRules()))
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -948,15 +987,8 @@ object SparkEntry {
     //      rule decides both ways. Signals are scan-side HOF Columns —
     //      no shuffle.
     "q_gopher_lines" -> ((s, dir) => {
-      val nl = regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n")
-      val bul = when(col("doc_id") % 3 === 0,
-        concat(lit("- "), regexp_replace(nl, "\n", "\n- "))).otherwise(nl)
-      val ell = when(col("doc_id") % 4 === 0,
-        concat(regexp_replace(bul, "\n", "...\n"), lit("..."))).otherwise(bul)
-      val mlt = when(col("doc_id") % 5 === 0, concat(ell, lit("\n"), ell)).otherwise(ell)
       graft.text.Repetition
-        .addLineFlags(
-          read(s, dir, "documents").select(col("doc_id"), mlt.as("mtext")), "mtext")
+        .addLineFlags(relinedDocs(s, dir).select(col("doc_id"), col("text")), "text")
         .select(
           col("doc_id"),
           col("n_lines").cast("long").as("n_lines"),
@@ -1550,13 +1582,73 @@ object SparkEntry {
         |    AND alpha_word_fraction >= 0.8 AND dup_unit_fraction <= 0.6
         |    AND top_ngram_char_fraction <= 0.2""".stripMargin
 
+    // deterministic re-lining of documents into the multi-line corpus
+    // mdocs (3-word lines; %3 docs bulleted, %4 docs
+    // ellipsis-terminated, %5 docs' line block doubled) — replays
+    // SparkEntry.relinedDocs; shared by q_gopher_lines and
+    // q_curate_gopher_lines
+    val relineCtes =
+      """mdocs AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 5 = 0 THEN e || chr(10) || e ELSE e END AS text
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      CASE WHEN doc_id % 4 = 0 THEN replace(b, chr(10), '...' || chr(10)) || '...'
+        |           ELSE b END AS e
+        |    FROM (
+        |      SELECT doc_id, lang,
+        |        CASE WHEN doc_id % 3 = 0 THEN '- ' || replace(nl, chr(10), chr(10) || '- ')
+        |             ELSE nl END AS b
+        |      FROM (
+        |        SELECT doc_id, lang,
+        |          regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS nl
+        |        FROM documents) t1) t2) t3)""".stripMargin
+
+    // the four line-rule signals over mdocs' trimmed/lowercased
+    // non-empty lines (Repetition.addLineFlags replay) plus the rule
+    // conjunction — q_gopher_lines projects the per-rule flags,
+    // q_curate_gopher_lines filters the curation chain on the
+    // conjunction; one definition keeps the thresholds in lockstep
+    val lineSigCtes =
+      """llines AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(string_split(text, chr(10)), x -> lower(trim(x))),
+        |                x -> x <> '') AS ln
+        |  FROM mdocs),
+        |lbase AS (
+        |  SELECT doc_id, len(ln) AS n, len(list_distinct(ln)) AS d,
+        |    coalesce(list_sum(list_transform(ln, x -> len(x))), 0) AS tot_chars,
+        |    len(list_filter(ln, x -> regexp_matches(x, '^[-*•]'))) AS bullets,
+        |    len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS ells
+        |  FROM llines),
+        |lcnt AS (
+        |  SELECT doc_id, line, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(ln) AS line FROM llines) u GROUP BY 1, 2),
+        |ldup AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * len(line) ELSE 0 END) AS dup_chars
+        |  FROM lcnt GROUP BY 1),
+        |lfr AS (
+        |  SELECT b.doc_id,
+        |    CAST(b.n AS BIGINT) AS n_lines, CAST(b.d AS BIGINT) AS n_distinct_lines,
+        |    CASE WHEN b.n > 0 THEN round((b.n - b.d) / b.n, 6) ELSE 0.0 END AS dup_line_fraction,
+        |    CASE WHEN b.tot_chars > 0 THEN round(coalesce(dp.dup_chars, 0) / b.tot_chars, 6)
+        |         ELSE 0.0 END AS dup_line_char_fraction,
+        |    CASE WHEN b.n > 0 THEN round(b.bullets / b.n, 6) ELSE 0.0 END AS bullet_line_fraction,
+        |    CASE WHEN b.n > 0 THEN round(b.ells / b.n, 6) ELSE 0.0 END AS ellipsis_line_fraction
+        |  FROM lbase b LEFT JOIN ldup dp USING (doc_id))""".stripMargin
+    val linePassPred =
+      """dup_line_fraction <= 0.3 AND dup_line_char_fraction <= 0.2
+        |    AND bullet_line_fraction <= 0.9 AND ellipsis_line_fraction <= 0.3""".stripMargin
+
     // THE q_curate stage chain (corpus split, normalized dedup, 6-gram
-    // eval flagging, token floor) — q_curate and q_curate_gopher
-    // interpolate this one definition; the final two-residue sample
+    // eval flagging, token floor) — q_curate, q_curate_gopher and
+    // q_curate_gopher_lines interpolate this one definition (the last
+    // over the re-lined mdocs source); the final two-residue sample
     // predicate is shared alongside
-    val curateBaseCtes =
-      """corpus AS (
-        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
+    def curateCtes(src: String) =
+      raw"""corpus AS (
+        |  SELECT doc_id, text, lang FROM $src WHERE doc_id % 20 <> 0),
         |normed AS (
         |  SELECT doc_id, text, lang,
         |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), '\s+', ' ', 'g')) AS norm
@@ -1567,7 +1659,7 @@ object SparkEntry {
         |    FROM normed) WHERE rn = 1),
         |toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-        |  FROM documents),
+        |  FROM $src),
         |grams AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
@@ -1583,6 +1675,7 @@ object SparkEntry {
         |  SELECT * FROM clean
         |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)""".stripMargin
+    val curateBaseCtes = curateCtes("documents")
     val curateSamplePred =
       """(((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
         |       + ((doc_id % 2147483629 + 2147483629) % 2147483629) * 1709782614)
@@ -2598,63 +2691,31 @@ object SparkEntry {
            |  CAST(CASE WHEN $gopherPassPred THEN 1 ELSE 0 END AS BIGINT) AS passes
            |FROM sig""".stripMargin,
 
-      // replays the deterministic re-lining (3-word lines; %3 docs
-      // bulleted, %4 docs ellipsis-terminated, %5 docs' line block
-      // doubled) then the four line-rule signals over
-      // trimmed/lowercased non-empty lines
+      // replays the deterministic re-lining then the four line-rule
+      // signals and flags over trimmed/lowercased non-empty lines
       "q_gopher_lines" ->
-        """WITH mlt AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 5 = 0 THEN e || chr(10) || e ELSE e END AS mtext
-          |  FROM (
-          |    SELECT doc_id,
-          |      CASE WHEN doc_id % 4 = 0 THEN replace(b, chr(10), '...' || chr(10)) || '...'
-          |           ELSE b END AS e
-          |    FROM (
-          |      SELECT doc_id,
-          |        CASE WHEN doc_id % 3 = 0 THEN '- ' || replace(nl, chr(10), chr(10) || '- ')
-          |             ELSE nl END AS b
-          |      FROM (
-          |        SELECT doc_id,
-          |          regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g') AS nl
-          |        FROM documents) t1) t2) t3),
-          |llines AS (
-          |  SELECT doc_id,
-          |    list_filter(list_transform(string_split(mtext, chr(10)), x -> lower(trim(x))),
-          |                x -> x <> '') AS ln
-          |  FROM mlt),
-          |lbase AS (
-          |  SELECT doc_id, len(ln) AS n, len(list_distinct(ln)) AS d,
-          |    coalesce(list_sum(list_transform(ln, x -> len(x))), 0) AS tot_chars,
-          |    len(list_filter(ln, x -> regexp_matches(x, '^[-*•]'))) AS bullets,
-          |    len(list_filter(ln, x -> regexp_matches(x, '(\.\.\.|…)$'))) AS ells
-          |  FROM llines),
-          |lcnt AS (
-          |  SELECT doc_id, line, count(*) AS cnt
-          |  FROM (SELECT doc_id, unnest(ln) AS line FROM llines) u GROUP BY 1, 2),
-          |ldup AS (
-          |  SELECT doc_id,
-          |    sum(CASE WHEN cnt >= 2 THEN cnt * len(line) ELSE 0 END) AS dup_chars
-          |  FROM lcnt GROUP BY 1),
-          |lfr AS (
-          |  SELECT b.doc_id,
-          |    CAST(b.n AS BIGINT) AS n_lines, CAST(b.d AS BIGINT) AS n_distinct_lines,
-          |    CASE WHEN b.n > 0 THEN round((b.n - b.d) / b.n, 6) ELSE 0.0 END AS dup_line_fraction,
-          |    CASE WHEN b.tot_chars > 0 THEN round(coalesce(dp.dup_chars, 0) / b.tot_chars, 6)
-          |         ELSE 0.0 END AS dup_line_char_fraction,
-          |    CASE WHEN b.n > 0 THEN round(b.bullets / b.n, 6) ELSE 0.0 END AS bullet_line_fraction,
-          |    CASE WHEN b.n > 0 THEN round(b.ells / b.n, 6) ELSE 0.0 END AS ellipsis_line_fraction
-          |  FROM lbase b LEFT JOIN ldup dp USING (doc_id))
-          |SELECT doc_id, n_lines, n_distinct_lines, dup_line_fraction,
-          |  dup_line_char_fraction, bullet_line_fraction, ellipsis_line_fraction,
-          |  CAST(CASE WHEN dup_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_ok,
-          |  CAST(CASE WHEN dup_line_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_chars_ok,
-          |  CAST(CASE WHEN bullet_line_fraction <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
-          |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
-          |  CAST(CASE WHEN dup_line_fraction <= 0.3 AND dup_line_char_fraction <= 0.2
-          |             AND bullet_line_fraction <= 0.9 AND ellipsis_line_fraction <= 0.3
-          |        THEN 1 ELSE 0 END AS BIGINT) AS line_passes
-          |FROM lfr""".stripMargin
+        s"""WITH $relineCtes,
+           |$lineSigCtes
+           |SELECT doc_id, n_lines, n_distinct_lines, dup_line_fraction,
+           |  dup_line_char_fraction, bullet_line_fraction, ellipsis_line_fraction,
+           |  CAST(CASE WHEN dup_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_ok,
+           |  CAST(CASE WHEN dup_line_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS dup_line_chars_ok,
+           |  CAST(CASE WHEN bullet_line_fraction <= 0.9 THEN 1 ELSE 0 END AS BIGINT) AS bullet_ok,
+           |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
+           |  CAST(CASE WHEN $linePassPred THEN 1 ELSE 0 END AS BIGINT) AS line_passes
+           |FROM lfr""".stripMargin,
+
+      // the re-lined curation chain gated on the line-rule conjunction
+      // (same stage chain as q_curate, source = mdocs for both the
+      // corpus and the eval slice's decontamination grams)
+      "q_curate_gopher_lines" ->
+        s"""WITH $relineCtes,
+           |$lineSigCtes,
+           |lpass AS (SELECT doc_id FROM lfr WHERE $linePassPred),
+           |${curateCtes("mdocs")}
+           |SELECT doc_id, lang FROM qual
+           |WHERE doc_id IN (SELECT doc_id FROM lpass)
+           |  AND $curateSamplePred""".stripMargin
     )
   }
 }

@@ -30,7 +30,9 @@ import graft.text.TextOps
   *      never shuffles),
   *   5. quality floor (pure column predicates — a token-count minimum,
   *      the composite [[TextOps.qualityScore]], and/or the Gopher
-  *      repetition rules via [[graft.text.Repetition.gopherPasses]]),
+  *      repetition rules via [[graft.text.Repetition.gopherPasses]] and
+  *      the line-family rules via
+  *      [[graft.text.Repetition.gopherLinePasses]]),
   *   6. deterministic stratified sampling (a pure scan-side predicate
   *      on the two-residue id-hash — the mix step).
   *
@@ -110,6 +112,21 @@ object Curation {
       maxDupUnitFraction: Double = 0.5,
       maxTopNgramCharFraction: Double = 0.2)
 
+  /** Thresholds for the optional Gopher LINE-rule stage
+    * ([[graft.text.Repetition.gopherLinePasses]]) — the MassiveText
+    * line family (duplicate-line and duplicate-line-character caps,
+    * bullet-start and ellipsis-end caps) for multi-line corpora, which
+    * the word-level [[GopherRules]] cannot see. Fuses into the same
+    * scan-side filter; single-line documents pass vacuously (no line
+    * evidence against them). Defaults mirror
+    * `Repetition.addLineFlags`.
+    */
+  final case class GopherLineRules(
+      maxDupLineFraction: Double = 0.3,
+      maxDupLineCharFraction: Double = 0.2,
+      maxBulletLineFraction: Double = 0.9,
+      maxEllipsisLineFraction: Double = 0.3)
+
   /** The chain with its stage plans exposed (all lazy DataFrames —
     * nothing is computed until a consumer acts): lets a driver write
     * the SAME contamination report / span profile / near-dup pair
@@ -127,9 +144,11 @@ object Curation {
       cleaned: DataFrame,
       qualified: DataFrame,
       sampled: DataFrame,
-      // the corpus the gopher stage thresholded (post-floors, pre-rules;
-      // Some iff the stage is on) — the audit input, so a flag-count
-      // report reads the exact plan the stage filtered
+      // the corpus the gopher stage(s) thresholded (post-floors,
+      // pre-rules; Some iff the word OR line stage is on) — the audit
+      // input, so a flag-count report reads the exact plan the stage
+      // filtered. With both families on, each family's report counts
+      // its own bite over this shared evaluated corpus independently.
       gopherEvaluated: Option[DataFrame] = None
   )
 
@@ -151,7 +170,8 @@ object Curation {
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
       spanAction: SpanAction = SpanAction.DropDocs,
-      gopher: Option[GopherRules] = None
+      gopher: Option[GopherRules] = None,
+      gopherLines: Option[GopherLineRules] = None
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val nearDupPairs = nearDup match {
@@ -197,7 +217,7 @@ object Curation {
     // as the floors above — intra-doc signals, zero added shuffle;
     // applied AFTER span surgery so the rules judge the text that
     // would actually ship
-    val qualified = gopher.foldLeft(qualified0) { (df, r) =>
+    val qualifiedW = gopher.foldLeft(qualified0) { (df, r) =>
       df.where(graft.text.Repetition.gopherPasses(
         col(textCol),
         minWords = r.minWords, maxWords = r.maxWords,
@@ -206,9 +226,19 @@ object Curation {
         maxDupUnitFraction = r.maxDupUnitFraction,
         maxTopNgramCharFraction = r.maxTopNgramCharFraction))
     }
+    val qualified = gopherLines.foldLeft(qualifiedW) { (df, r) =>
+      df.where(graft.text.Repetition.gopherLinePasses(
+        col(textCol),
+        maxDupLineFraction = r.maxDupLineFraction,
+        maxDupLineCharFraction = r.maxDupLineCharFraction,
+        maxBulletLineFraction = r.maxBulletLineFraction,
+        maxEllipsisLineFraction = r.maxEllipsisLineFraction))
+    }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
     Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
-      cleaned, qualified, sampled, gopherEvaluated = gopher.map(_ => qualified0))
+      cleaned, qualified, sampled,
+      gopherEvaluated =
+        if (gopher.isDefined || gopherLines.isDefined) Some(qualified0) else None)
   }
 
   def curate(
@@ -229,9 +259,10 @@ object Curation {
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
       spanAction: SpanAction = SpanAction.DropDocs,
-      gopher: Option[GopherRules] = None
+      gopher: Option[GopherRules] = None,
+      gopherLines: Option[GopherLineRules] = None
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
-      maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher).sampled
+      maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher, gopherLines).sampled
 }

@@ -96,6 +96,70 @@ class CurationSpec extends SparkSpec {
     assert(gated == base.intersect(passing))
   }
 
+  test("curate: gopher LINE stage gates on line rules; gopher_line_report audits its bite") {
+    import spark.implicits._
+    import graft.text.Repetition
+    // multi-line corpus: 6 five-word lines per doc (distinct words, so
+    // the dup-line rules never fire); every %4 doc gets ellipsis line
+    // endings — the one rule that bites at these thresholds
+    val corpus = (0L until 60L).map { i =>
+      val base = (1 to 30).map(w => s"word${(i * 31 + w) % 997}x")
+        .grouped(5).map(_.mkString(" ")).mkString("\n")
+      val t = if (i % 4 == 0) base.linesIterator.map(_ + "...").mkString("\n") else base
+      (i, t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    val rules = Curation.GopherLineRules(maxEllipsisLineFraction = 0.2)
+    val base = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val gated = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6, gopherLines = Some(rules))
+      .select(col("doc_id")).as[Long].collect().toSet
+    // the line stage only removes — and removes exactly the docs
+    // failing the fused line predicate (non-vacuous both ways)
+    assert(gated.subsetOf(base) && gated.size < base.size && gated.nonEmpty)
+    val passing = corpus
+      .where(Repetition.gopherLinePasses(col("text"),
+        maxEllipsisLineFraction = rules.maxEllipsisLineFraction))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gated == base.intersect(passing))
+    assert(gated == base.filter(_ % 4 != 0)) // exactly the ellipsis docs dropped
+
+    // the spark-submit core: --gopher-lines grammar, the line-report
+    // audit table, and the fingerprint segment
+    assert(RunCuration.parseGopherLines("default") == Curation.GopherLineRules())
+    assert(RunCuration.parseGopherLines("max-dup-line-fraction=0.5,max-bullet-fraction=0.8") ==
+      Curation.GopherLineRules(maxDupLineFraction = 0.5, maxBulletLineFraction = 0.8))
+    intercept[IllegalArgumentException](RunCuration.parseGopherLines("bogus-key=1"))
+    // stage-off runs keep the pre-flag fingerprint (resume compat)
+    assert(!RunCuration.configFingerprint(RunCuration.Args()).contains("gopherLines"))
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_lines_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out,
+      "--shingle-n", "6", "--gopher-lines", "max-ellipsis-fraction=0.2"))
+    assert(args.gopherLines == Some(rules))
+    assert(RunCuration.configFingerprint(args).contains("gopherLines"))
+    val (in, outN) = RunCuration.run(spark, corpus, eval, args)
+    assert(in == 60 && outN == 45) // the 15 ellipsis docs dropped
+    val shipped = spark.read.parquet(s"$out/corpus")
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(shipped == gated)
+    val report = spark.read.parquet(s"$out/gopher_line_report")
+    assert(report.columns.toSet == Set("n_evaluated",
+      "n_dup_line_ok", "n_dup_line_chars_ok", "n_bullet_ok", "n_ellipsis_ok",
+      "n_line_passes",
+      "p50_dup_line_fraction", "p90_dup_line_fraction", "max_dup_line_fraction",
+      "p90_dup_line_char_fraction", "max_dup_line_char_fraction",
+      "p90_bullet_line_fraction", "p90_ellipsis_line_fraction", "p50_n_lines"))
+    val r = report.select(col("n_evaluated"), col("n_ellipsis_ok"),
+      col("n_bullet_ok"), col("n_line_passes"), col("p50_n_lines"))
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r._1 == 60 && r._2 == 45 && r._3 == 60 && r._4 == 45 && r._5 == 6.0)
+  }
+
   test("curate: near-dup stage removes dominated clips; composite quality floor holds") {
     import spark.implicits._
     val all = spark.read.parquet(docs)
