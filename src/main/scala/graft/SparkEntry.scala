@@ -50,6 +50,21 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Deterministic intra-document repetition injection (every %3 doc
+    * gets its first 12 words appended again; every %7 doc its whole
+    * text doubled) — the corpus has no natural duplicated 5..10-grams,
+    * so the full-n-gram-family query (q_gopher_ngrams) runs over this
+    * mutation to make the dup rules decide both ways. Mirrored by the
+    * ngram oracle's ndocs CTE.
+    */
+  private def injectedRepeats(s: SparkSession, dir: String): DataFrame = {
+    val head12 = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
+    val r1 = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), head12))
+      .otherwise(col("text"))
+    val r2 = when(col("doc_id") % 7 === 0, concat(r1, lit(" "), r1)).otherwise(r1)
+    read(s, dir, "documents").select(col("doc_id"), r2.as("text"))
+  }
+
   /** Deterministic re-lining of the single-line documents corpus into
     * a multi-line one (3-word lines; every doc_id%3==0 doc gets its
     * lines bulleted, every %4==0 doc ellipsis-terminated line endings,
@@ -1004,6 +1019,26 @@ object SparkEntry {
           col("line_passes").cast("long").as("line_passes"))
     }),
 
+    // ---- the FULL Gopher n-gram family (Rae et al. 2021 Table A1):
+    //      top-2/3/4-gram char fractions and dup-5..10-gram char-cover
+    //      fractions at the published caps, over the repetition-injected
+    //      corpus (injectedRepeats) so the dup rules fire both ways.
+    //      All signals are scan-side HOF Columns — no shuffle.
+    "q_gopher_ngrams" -> ((s, dir) => {
+      import graft.text.Repetition
+      val flagged = Repetition.addGopherNgramFlags(
+        Repetition.addNgramSignals(injectedRepeats(s, dir), "text"))
+      val topNs = Repetition.TopNgramCaps.keys.toSeq.sorted
+      val covNs = Repetition.DupNgramCaps.keys.toSeq.sorted
+      val cols = col("doc_id") +:
+        (topNs.map(n => col(s"top_${n}gram_char_fraction")) ++
+          covNs.map(n => col(s"dup_${n}gram_char_fraction")) ++
+          topNs.map(n => col(s"top_${n}gram_ok").cast("long").as(s"top_${n}gram_ok")) ++
+          covNs.map(n => col(s"dup_${n}gram_ok").cast("long").as(s"dup_${n}gram_ok")) :+
+          col("ngram_passes").cast("long").as("ngram_passes"))
+      flagged.select(cols: _*)
+    }),
+
     // ---- J1: nearest-neighbor enrichment join (broadcast dim, argmin)
     "q_nn_enrich" -> ((s, dir) => {
       // dim: per event_type avg value (5 rows); each supplier gets the
@@ -1640,6 +1675,84 @@ object SparkEntry {
     val linePassPred =
       """dup_line_fraction <= 0.3 AND dup_line_char_fraction <= 0.2
         |    AND bullet_line_fraction <= 0.9 AND ellipsis_line_fraction <= 0.3""".stripMargin
+
+    // full Gopher n-gram family oracle (q_gopher_ngrams), generated per
+    // n so the Spark-side caps and the SQL stay in lockstep: ndocs =
+    // the injected-repetition corpus (SparkEntry.injectedRepeats
+    // replay); per top-n the max (count × gram chars); per cover-n the
+    // distinct unit positions under any duplicated n-gram window,
+    // summed as unit characters
+    val ngramTopNs = graft.text.Repetition.TopNgramCaps.toSeq.sorted
+    val ngramCovNs = graft.text.Repetition.DupNgramCaps.toSeq.sorted
+    val ngramBaseCtes =
+      raw"""ndocs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN r1 || ' ' || r1 ELSE r1 END AS text
+        |  FROM (
+        |    SELECT doc_id,
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN text || ' ' || array_to_string((string_split(text, ' '))[1:12], ' ')
+        |           ELSE text END AS r1
+        |    FROM documents) s0),
+        |ntk AS (
+        |  SELECT doc_id, text,
+        |    list_filter(list_transform(string_split_regex(lower(text), '\s+'), x -> trim(x)), x -> x <> '') AS tk
+        |  FROM ndocs),
+        |nbase AS (
+        |  SELECT doc_id, text, len(tk) AS t,
+        |    coalesce(list_sum(list_transform(tk, x -> len(x))), 0) AS tot_chars
+        |  FROM ntk),
+        |nunits AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk))) - 1 AS upos,
+        |    unnest(list_transform(tk, x -> len(x))) AS ulen
+        |  FROM ntk WHERE len(tk) >= 1)""".stripMargin
+    def ngramTopCte(n: Int) =
+      raw"""tg$n AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+        |    i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+        |  FROM ntk WHERE len(tk) >= $n),
+        |tc$n AS (
+        |  SELECT doc_id, max(cnt * len(gram)) AS best
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM tg$n GROUP BY 1, 2)
+        |  GROUP BY doc_id)""".stripMargin
+    def ngramCovCte(n: Int) =
+      raw"""cg$n AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(tk) - ${n - 1})) - 1 AS pos,
+        |    unnest(list_transform(generate_series(1, len(tk) - ${n - 1}),
+        |      i -> array_to_string(tk[i:i+${n - 1}], ' '))) AS gram
+        |  FROM ntk WHERE len(tk) >= $n),
+        |cd$n AS (
+        |  SELECT g.doc_id, g.pos FROM cg$n g
+        |  JOIN (SELECT doc_id, gram FROM cg$n GROUP BY doc_id, gram HAVING count(*) >= 2) d
+        |    USING (doc_id, gram)),
+        |cc$n AS (
+        |  SELECT DISTINCT d.doc_id, d.pos + o.off AS upos
+        |  FROM cd$n d CROSS JOIN (SELECT unnest(generate_series(0, ${n - 1})) AS off) o),
+        |ch$n AS (
+        |  SELECT u.doc_id, sum(u.ulen) AS cov FROM nunits u
+        |  JOIN cc$n c ON c.doc_id = u.doc_id AND c.upos = u.upos GROUP BY 1)""".stripMargin
+    val ngramSigSelect =
+      (ngramTopNs.map { case (n, _) =>
+        s"    round(coalesce(tc$n.best, 0) / greatest(len(b.text), 1), 6) AS top_${n}gram_char_fraction"
+      } ++ ngramCovNs.map { case (n, _) =>
+        s"    CASE WHEN b.tot_chars > 0 AND b.t >= $n THEN round(coalesce(ch$n.cov, 0) / b.tot_chars, 6) ELSE 0.0 END AS dup_${n}gram_char_fraction"
+      }).mkString(",\n")
+    val ngramJoins =
+      (ngramTopNs.map { case (n, _) => s"  LEFT JOIN tc$n USING (doc_id)" } ++
+        ngramCovNs.map { case (n, _) => s"  LEFT JOIN ch$n USING (doc_id)" }).mkString("\n")
+    val ngramFlagSelect =
+      (ngramTopNs.map { case (n, cap) =>
+        s"  CAST(CASE WHEN top_${n}gram_char_fraction <= $cap THEN 1 ELSE 0 END AS BIGINT) AS top_${n}gram_ok"
+      } ++ ngramCovNs.map { case (n, cap) =>
+        s"  CAST(CASE WHEN dup_${n}gram_char_fraction <= $cap THEN 1 ELSE 0 END AS BIGINT) AS dup_${n}gram_ok"
+      }).mkString(",\n")
+    val ngramPassPred =
+      (ngramTopNs.map { case (n, cap) => s"top_${n}gram_char_fraction <= $cap" } ++
+        ngramCovNs.map { case (n, cap) => s"dup_${n}gram_char_fraction <= $cap" })
+        .mkString(" AND ")
+    val ngramFracCols =
+      (ngramTopNs.map { case (n, _) => s"top_${n}gram_char_fraction" } ++
+        ngramCovNs.map { case (n, _) => s"dup_${n}gram_char_fraction" }).mkString(", ")
 
     // THE q_curate stage chain (corpus split, normalized dedup, 6-gram
     // eval flagging, token floor) — q_curate, q_curate_gopher and
@@ -2704,6 +2817,22 @@ object SparkEntry {
            |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
            |  CAST(CASE WHEN $linePassPred THEN 1 ELSE 0 END AS BIGINT) AS line_passes
            |FROM lfr""".stripMargin,
+
+      // the generated full-n-gram-family replay: injected repetition,
+      // per-n top/cover CTEs, fractions then flags at the published caps
+      "q_gopher_ngrams" ->
+        s"""WITH $ngramBaseCtes,
+           |${(ngramTopNs.map(p => ngramTopCte(p._1)) ++
+                ngramCovNs.map(p => ngramCovCte(p._1))).mkString(",\n")},
+           |nsig AS (
+           |  SELECT b.doc_id,
+           |$ngramSigSelect
+           |  FROM nbase b
+           |$ngramJoins)
+           |SELECT doc_id, $ngramFracCols,
+           |$ngramFlagSelect,
+           |  CAST(CASE WHEN $ngramPassPred THEN 1 ELSE 0 END AS BIGINT) AS ngram_passes
+           |FROM nsig""".stripMargin,
 
       // the re-lined curation chain gated on the line-rule conjunction
       // (same stage chain as q_curate, source = mdocs for both the

@@ -221,6 +221,168 @@ object Repetition {
       .drop(cU)
   }
 
+  /** Published caps of the full Gopher n-gram rule family (Rae et al.
+    * 2021 Table A1): the top-n-gram character fraction for n = 2..4
+    * and the duplicated-n-gram character fraction for n = 5..10.
+    */
+  val TopNgramCaps: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupNgramCaps: Map[Int, Double] =
+    Map(5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Duplicated-n-gram character-cover fraction of a unit array:
+    * characters of the units under at least one n-gram window that
+    * repeats within the document, over all unit characters. Built as
+    * NESTED one-element-`transform` let-bindings pinning the gram
+    * array, its duplicated-gram set and the per-window dup flags to
+    * ONE evaluation each — Spark has no subexpression elimination
+    * across higher-order-function subtrees, and CollapseProject will
+    * inline a once-referenced temp column INTO the probe lambda, where
+    * it would re-evaluate per probed window (O(L² log L) per document,
+    * measured as a stuck scan). Let-bound, the cover pass is O(L·n).
+    */
+  private def dupNgramCoverFrac(u: Column, n: Int): Column = {
+    val t = size(u)
+    val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
+    element_at(
+      transform(
+        array(ngrams(u, n)),
+        g => {
+          val m = size(g)
+          val sortedG = array_sort(g)
+          val dupSetExpr = array_distinct(
+            filter(
+              zip_with(sortedG, slice(sortedG, lit(2), greatest(size(sortedG) - 1, lit(0))),
+                (a, b) => when(a === b, a)),
+              x => x.isNotNull))
+          element_at(
+            transform(
+              array(dupSetExpr),
+              dupSet =>
+                element_at(
+                  transform(
+                    array(transform(g, x => array_contains(dupSet, x))),
+                    flags => {
+                      val coveredChars = aggregate(
+                        sequence(lit(0), t - 1),
+                        lit(0L),
+                        (acc, j) =>
+                          acc + when(
+                            exists(
+                              sequence(greatest(lit(0), j - (n - 1)), least(j, m - 1)),
+                              i => element_at(flags, i + 1)),
+                            length(element_at(u, j + 1)).cast("long")).otherwise(lit(0L)))
+                      when(
+                        t >= n && totChars > 0,
+                        round(coveredChars.cast("double") / totChars, 6))
+                        .otherwise(lit(0.0))
+                    }),
+                  lit(1))),
+            lit(1))
+        }),
+      lit(1))
+  }
+
+  /** The FULL Gopher n-gram signal family ([[addSignals]] computes one
+    * topN and one coverN; this computes the whole Table A1 set in one
+    * scan): for each n in `topNs` a `top_{n}gram_char_fraction` —
+    * characters occupied by the single most-characters repeated n-gram
+    * over the document's raw character length — and for each n in
+    * `coverNs` a `dup_{n}gram_char_fraction` — characters of the UNITS
+    * sitting under at least one n-gram window that repeats within this
+    * document (union of covers, each character counted once), over all
+    * unit characters.
+    *
+    * Same scale shape as [[addSignals]]: pure scan-side Column
+    * expressions, one `array_sort` + linear passes per (doc, n), no
+    * UDF, no shuffle; per-doc cost O(L·Σn). Fractions are
+    * `round(·, 6)`; empty / null / sub-n documents profile as zeros.
+    */
+  def addNgramSignals(
+      df: DataFrame,
+      textCol: String,
+      topNs: Seq[Int] = TopNgramCaps.keys.toSeq.sorted,
+      coverNs: Seq[Int] = DupNgramCaps.keys.toSeq.sorted,
+      unitSep: String = "\\s+"
+  ): DataFrame = {
+    import graft.util.Cols.fresh
+    val cU = fresh(df.columns.toSet, "_rep_nu")
+    val u = col(cU)
+    val t = size(u)
+    val withU = df.withColumn(cU, units(col(textCol), unitSep))
+    val withTop = topNs.foldLeft(withU) { (d, n) =>
+      d.withColumn(
+        s"top_${n}gram_char_fraction",
+        when(
+          t >= n,
+          round(
+            topRunChars(array_sort(ngrams(u, n))).cast("double") /
+              greatest(length(col(textCol)), lit(1)),
+            6))
+          .otherwise(lit(0.0)))
+    }
+    val withCover = coverNs.foldLeft(withTop) { (d, n) =>
+      d.withColumn(s"dup_${n}gram_char_fraction", dupNgramCoverFrac(u, n))
+    }
+    withCover.drop(cU)
+  }
+
+  /** One `_ok` flag per [[addNgramSignals]] column at the given caps
+    * (defaults: the published Table A1 thresholds) plus
+    * `ngram_passes` = their conjunction. `df` must already carry the
+    * signal columns.
+    */
+  def addGopherNgramFlags(
+      df: DataFrame,
+      topCaps: Map[Int, Double] = TopNgramCaps,
+      dupCaps: Map[Int, Double] = DupNgramCaps
+  ): DataFrame = {
+    val withTop = topCaps.toSeq.sorted.foldLeft(df) { case (d, (n, cap)) =>
+      d.withColumn(s"top_${n}gram_ok", col(s"top_${n}gram_char_fraction") <= cap)
+    }
+    val withDup = dupCaps.toSeq.sorted.foldLeft(withTop) { case (d, (n, cap)) =>
+      d.withColumn(s"dup_${n}gram_ok", col(s"dup_${n}gram_char_fraction") <= cap)
+    }
+    val allOk =
+      (topCaps.keys.toSeq.sorted.map(n => col(s"top_${n}gram_ok")) ++
+        dupCaps.keys.toSeq.sorted.map(n => col(s"dup_${n}gram_ok"))).reduce(_ && _)
+    withDup.withColumn("ngram_passes", allOk)
+  }
+
+  /** The n-gram rule conjunction as ONE predicate Column (the filter
+    * form of [[addNgramSignals]]+[[addGopherNgramFlags]]): the unit
+    * array is tokenized once via the one-element-`transform`
+    * let-binding, and each cover-n's flag array is let-bound the same
+    * way (the window `exists` probes it O(L·n) times — unbound, the
+    * dup-set membership map would recompute per probe). Pinned equal
+    * to the `ngram_passes` flag by spec.
+    */
+  def gopherNgramPasses(
+      text: Column,
+      topCaps: Map[Int, Double] = TopNgramCaps,
+      dupCaps: Map[Int, Double] = DupNgramCaps,
+      unitSep: String = "\\s+"
+  ): Column =
+    element_at(
+      transform(
+        array(units(text, unitSep)),
+        u => {
+          val t = size(u)
+          val topOks = topCaps.toSeq.sorted.map { case (n, cap) =>
+            when(
+              t >= n,
+              round(
+                topRunChars(array_sort(ngrams(u, n))).cast("double") /
+                  greatest(length(text), lit(1)),
+                6))
+              .otherwise(lit(0.0)) <= cap
+          }
+          val dupOks = dupCaps.toSeq.sorted.map { case (n, cap) =>
+            dupNgramCoverFrac(u, n) <= cap
+          }
+          (topOks ++ dupOks).reduce(_ && _)
+        }),
+      lit(1))
+
   /** Gopher-style LINE rules for multi-line documents (Rae et al. 2021
     * Table A1's line family): fraction of duplicate lines / of
     * characters inside duplicate lines, and the fraction of lines

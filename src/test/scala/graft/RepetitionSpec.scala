@@ -159,6 +159,66 @@ class RepetitionSpec extends SparkSpec {
     }
   }
 
+  test("addNgramSignals: hand-computed top and cover fractions") {
+    import spark.implicits._
+    // A: "a b c a b c d" — top-2 "a b"x2 = 6 chars / 13; top-3
+    // "a b c"x2 = 10/13; top-4 all distinct, best = one gram's 7 chars;
+    // no duplicated 5..10-gram. B: "xx yy zz" three times — dup
+    // 5-grams at pos {0,3}, dup 6-grams at {0,3}: every unit covered
+    // (18/18 chars); 7-grams all distinct; top-2 "xx yy"x3 = 15/26.
+    val df = Seq((1L, "a b c a b c d"), (2L, "xx yy zz xx yy zz xx yy zz"))
+      .toDF("doc_id", "text")
+    def r6(x: Double) = math.round(x * 1e6) / 1e6
+    val rows = Repetition.addNgramSignals(df, "text")
+      .select("doc_id", "top_2gram_char_fraction", "top_3gram_char_fraction",
+        "top_4gram_char_fraction", "dup_5gram_char_fraction", "dup_6gram_char_fraction",
+        "dup_7gram_char_fraction", "dup_10gram_char_fraction")
+      .as[(Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(rows(0) == ((1L, r6(6.0 / 13), r6(10.0 / 13), r6(7.0 / 13), 0.0, 0.0, 0.0, 0.0)))
+    assert(rows(1)._2 == r6(15.0 / 26))
+    assert(rows(1)._5 == 1.0 && rows(1)._6 == 1.0 && rows(1)._7 == 0.0 && rows(1)._8 == 0.0)
+    // flags at the published caps: A fails every top rule, passes every
+    // dup rule; B fails every top rule ("xx yy zz xx" repeats at pos
+    // 0/3: 22/26 chars) and dup-5/6
+    val f = Repetition.addGopherNgramFlags(Repetition.addNgramSignals(df, "text"))
+      .select("doc_id", "top_2gram_ok", "top_4gram_ok", "dup_5gram_ok", "dup_7gram_ok",
+        "ngram_passes")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(f(0) == ((1L, false, false, true, true, false)))
+    assert(f(1) == ((2L, false, false, false, true, false)))
+    // empty / null / one-word docs profile as zeros and pass
+    val z = Repetition.addGopherNgramFlags(Repetition.addNgramSignals(
+      Seq((1L, ""), (2L, null: String), (3L, "word")).toDF("doc_id", "text"), "text"))
+      .select("doc_id", "top_2gram_char_fraction", "dup_5gram_char_fraction", "ngram_passes")
+      .as[(Long, Double, Double, Boolean)].collect()
+    z.foreach(r => assert(r._2 == 0.0 && r._3 == 0.0 && r._4, s"doc ${r._1}"))
+  }
+
+  test("gopherNgramPasses: the fused predicate equals addGopherNgramFlags' ngram_passes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val corpus = (0L until 120L).map { i =>
+      val base = (0 until 10 + rnd.nextInt(30)).map(_ => words(rnd.nextInt(words.length)))
+      // a third of the docs get a planted repeated phrase (dup 5..10-grams)
+      val t = if (rnd.nextInt(3) == 0) {
+        val phrase = base.take(12)
+        (base ++ phrase).mkString(" ")
+      } else base.mkString(" ")
+      (i, t)
+    } :+ (120L, null.asInstanceOf[String]) :+ (121L, "")
+    val df = corpus.toDF("doc_id", "text")
+    val viaFlags = Repetition.addGopherNgramFlags(Repetition.addNgramSignals(df, "text"))
+      .select(col("doc_id"), col("ngram_passes"))
+      .as[(Long, Boolean)].collect().toMap
+    val viaPred = df
+      .select(col("doc_id"), Repetition.gopherNgramPasses(col("text")).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaFlags == viaPred)
+    assert(viaFlags.values.exists(identity) && viaFlags.values.exists(!_))
+  }
+
   test("addLineFlags: hand-computed multi-line document") {
     import spark.implicits._
     val df = Seq((1L, "- A b ...\n- a B ...\nc")).toDF("doc_id", "text")
