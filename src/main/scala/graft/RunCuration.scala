@@ -23,6 +23,7 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   *     [--max-dup-fraction F] [--span-action drop|cut] \
   *     [--gopher default | k=v[,k=v...]] \
   *     [--gopher-lines default | k=v[,k=v...]] \
+  *     [--gopher-ngrams default | top-N=v,dup-N=v[,...]] \
   *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
   *     [--rates en=0.5,zh=0.25] [--default-rate F] \
   *     [--upsample en=2.5,code=4] [--default-upsample F] [--redact] \
@@ -69,6 +70,7 @@ object RunCuration {
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[Curation.GopherRules] = None,
       gopherLines: Option[Curation.GopherLineRules] = None,
+      gopherNgrams: Option[Curation.GopherNgramRules] = None,
       shingleN: Int = 13,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
@@ -169,6 +171,30 @@ object RunCuration {
         }
       }
 
+  /** `default` for the published Table A1 caps, or `k=v[,k=v...]`
+    * overriding individual caps (keys: `top-2..top-4`, `dup-5..dup-10`);
+    * unknown keys or n outside the family fail fast.
+    */
+  def parseGopherNgrams(v: String): Curation.GopherNgramRules =
+    if (v == "default") Curation.GopherNgramRules()
+    else
+      v.split(",").filter(_.nonEmpty).foldLeft(Curation.GopherNgramRules()) { (r, kv) =>
+        kv.split("=", 2) match {
+          case Array(k, x) if k.startsWith("top-") =>
+            val n = numI("--gopher-ngrams top-n", k.stripPrefix("top-"))
+            if (!r.topCaps.contains(n))
+              throw new IllegalArgumentException(s"--gopher-ngrams: unknown top n '$k' (2..4)")
+            r.copy(topCaps = r.topCaps.updated(n, numD(s"--gopher-ngrams $k", x)))
+          case Array(k, x) if k.startsWith("dup-") =>
+            val n = numI("--gopher-ngrams dup-n", k.stripPrefix("dup-"))
+            if (!r.dupCaps.contains(n))
+              throw new IllegalArgumentException(s"--gopher-ngrams: unknown dup n '$k' (5..10)")
+            r.copy(dupCaps = r.dupCaps.updated(n, numD(s"--gopher-ngrams $k", x)))
+          case _ => throw new IllegalArgumentException(
+            s"--gopher-ngrams expects default | k=v[,k=v...] with top-N/dup-N keys, got '$kv'")
+        }
+      }
+
   def parseRates(v: String): Map[String, Double] = parseFactorMap("--rates", v)
 
   private[graft] def parseFactorMap(flag: String, v: String): Map[String, Double] =
@@ -197,6 +223,8 @@ object RunCuration {
     case "--gopher" :: v :: rest => parse(rest, acc.copy(gopher = Some(parseGopher(v))))
     case "--gopher-lines" :: v :: rest =>
       parse(rest, acc.copy(gopherLines = Some(parseGopherLines(v))))
+    case "--gopher-ngrams" :: v :: rest =>
+      parse(rest, acc.copy(gopherNgrams = Some(parseGopherNgrams(v))))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
@@ -239,6 +267,12 @@ object RunCuration {
       // an in-flight output dir stays resumable across the upgrade
     ).++(a.gopher.map(g => s"gopher=$g"))
       .++(a.gopherLines.map(g => s"gopherLines=$g"))
+      .++(a.gopherNgrams.map { g =>
+        // render sorted: Map.toString order is size- and hash-dependent
+        val caps = (g.topCaps.toSeq.sorted.map { case (n, c) => s"top$n=$c" } ++
+          g.dupCaps.toSeq.sorted.map { case (n, c) => s"dup$n=$c" }).mkString(",")
+        s"gopherNgrams=$caps"
+      })
       .++(if (upsampleOn(a)) {
         val fs = a.upsample.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
         Seq(s"upsample=$fs", s"defaultUpsample=${a.defaultUpsample}")
@@ -300,7 +334,7 @@ object RunCuration {
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
       a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf,
-      a.spanAction, a.gopher, a.gopherLines)
+      a.spanAction, a.gopher, a.gopherLines, a.gopherNgrams)
     // several writes + count/audit aggregations consume the staged
     // plans; without pinning, EACH action would replay the dedup +
     // near-dup pair join (the dominant cost) from scratch. Persist the
@@ -415,6 +449,29 @@ object RunCuration {
               .as("p50_n_lines"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"${a.out}/gopher_line_report")
+      }
+      a.gopherNgrams.zip(staged.gopherEvaluated).foreach { case (r, evaluated) =>
+        // the n-gram-family report: per-rule pass counts at the
+        // configured caps, plus the tail of the smallest top-n and
+        // dup-n signals (the rules that bite first when tightening)
+        val topNs = r.topCaps.keys.toSeq.sorted
+        val dupNs = r.dupCaps.keys.toSeq.sorted
+        val flagged = graft.text.Repetition.addGopherNgramFlags(
+          graft.text.Repetition.addNgramSignals(
+            evaluated.select(col(a.idCol), col(a.textCol)), a.textCol, topNs, dupNs),
+          r.topCaps, r.dupCaps)
+        val aggs = Seq(count(lit(1)).as("n_evaluated")) ++
+          topNs.map(n => cnt(s"top_${n}gram_ok")) ++
+          dupNs.map(n => cnt(s"dup_${n}gram_ok")) ++
+          Seq(cnt("ngram_passes")) ++
+          topNs.headOption.toSeq.flatMap(n => Seq(
+            pct(s"top_${n}gram_char_fraction", 0.9), mx(s"top_${n}gram_char_fraction"))) ++
+          dupNs.headOption.toSeq.flatMap(n => Seq(
+            pct(s"dup_${n}gram_char_fraction", 0.9), mx(s"dup_${n}gram_char_fraction")))
+        flagged
+          .agg(aggs.head, aggs.tail: _*)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"${a.out}/gopher_ngram_report")
       }
       if (a.redact) {
         // pre/post scrub counts per PII type over the SHIPPED mix —

@@ -62,7 +62,7 @@ object SparkEntry {
     val r1 = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), head12))
       .otherwise(col("text"))
     val r2 = when(col("doc_id") % 7 === 0, concat(r1, lit(" "), r1)).otherwise(r1)
-    read(s, dir, "documents").select(col("doc_id"), r2.as("text"))
+    read(s, dir, "documents").select(col("doc_id"), r2.as("text"), col("lang"))
   }
 
   /** Deterministic re-lining of the single-line documents corpus into
@@ -551,6 +551,25 @@ object SparkEntry {
         defaultRate = 0.1,
         shingleN = 6,
         gopherLines = Some(Curation.GopherLineRules()))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // ---- the curation chain with the full n-gram rule stage over the
+    //      repetition-injected corpus (the q_gopher_ngrams input):
+    //      gopherNgramPasses at the published caps fused into the
+    //      quality filter — the %3/%7 injected docs fail the dup caps
+    "q_curate_gopher_ngrams" -> ((s, dir) => {
+      val docs = injectedRepeats(s, dir)
+      Curation.curate(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0).select(col("text")),
+        "doc_id", "text", "lang", "text",
+        minTokens = 20,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1,
+        shingleN = 6,
+        gopherNgrams = Some(Curation.GopherNgramRules()))
         .select(col("doc_id"), col("lang"))
     }),
 
@@ -1686,10 +1705,10 @@ object SparkEntry {
     val ngramCovNs = graft.text.Repetition.DupNgramCaps.toSeq.sorted
     val ngramBaseCtes =
       raw"""ndocs AS (
-        |  SELECT doc_id,
+        |  SELECT doc_id, lang,
         |    CASE WHEN doc_id % 7 = 0 THEN r1 || ' ' || r1 ELSE r1 END AS text
         |  FROM (
-        |    SELECT doc_id,
+        |    SELECT doc_id, lang,
         |      CASE WHEN doc_id % 3 = 0
         |           THEN text || ' ' || array_to_string((string_split(text, ' '))[1:12], ' ')
         |           ELSE text END AS r1
@@ -1753,6 +1772,17 @@ object SparkEntry {
     val ngramFracCols =
       (ngramTopNs.map { case (n, _) => s"top_${n}gram_char_fraction" } ++
         ngramCovNs.map { case (n, _) => s"dup_${n}gram_char_fraction" }).mkString(", ")
+    // the full prefix (injection + per-n CTEs + fraction projection) —
+    // q_gopher_ngrams and q_curate_gopher_ngrams share it verbatim
+    val ngramSigCtes =
+      s"""$ngramBaseCtes,
+         |${(ngramTopNs.map(p => ngramTopCte(p._1)) ++
+              ngramCovNs.map(p => ngramCovCte(p._1))).mkString(",\n")},
+         |nsig AS (
+         |  SELECT b.doc_id,
+         |$ngramSigSelect
+         |  FROM nbase b
+         |$ngramJoins)""".stripMargin
 
     // THE q_curate stage chain (corpus split, normalized dedup, 6-gram
     // eval flagging, token floor) — q_curate, q_curate_gopher and
@@ -2821,18 +2851,22 @@ object SparkEntry {
       // the generated full-n-gram-family replay: injected repetition,
       // per-n top/cover CTEs, fractions then flags at the published caps
       "q_gopher_ngrams" ->
-        s"""WITH $ngramBaseCtes,
-           |${(ngramTopNs.map(p => ngramTopCte(p._1)) ++
-                ngramCovNs.map(p => ngramCovCte(p._1))).mkString(",\n")},
-           |nsig AS (
-           |  SELECT b.doc_id,
-           |$ngramSigSelect
-           |  FROM nbase b
-           |$ngramJoins)
+        s"""WITH $ngramSigCtes
            |SELECT doc_id, $ngramFracCols,
            |$ngramFlagSelect,
            |  CAST(CASE WHEN $ngramPassPred THEN 1 ELSE 0 END AS BIGINT) AS ngram_passes
            |FROM nsig""".stripMargin,
+
+      // the injected-repetition curation chain gated on the full
+      // n-gram-family conjunction (same stage chain as q_curate,
+      // source = ndocs for both the corpus and the eval grams)
+      "q_curate_gopher_ngrams" ->
+        s"""WITH $ngramSigCtes,
+           |npass AS (SELECT doc_id FROM nsig WHERE $ngramPassPred),
+           |${curateCtes("ndocs")}
+           |SELECT doc_id, lang FROM qual
+           |WHERE doc_id IN (SELECT doc_id FROM npass)
+           |  AND $curateSamplePred""".stripMargin,
 
       // the re-lined curation chain gated on the line-rule conjunction
       // (same stage chain as q_curate, source = mdocs for both the

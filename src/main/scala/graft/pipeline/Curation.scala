@@ -127,6 +127,16 @@ object Curation {
       maxBulletLineFraction: Double = 0.9,
       maxEllipsisLineFraction: Double = 0.3)
 
+  /** Caps for the optional full n-gram rule stage
+    * ([[graft.text.Repetition.gopherNgramPasses]]) — the Table A1
+    * top-n-gram (n = 2..4) and duplicated-n-gram (n = 5..10) character
+    * caps. Defaults are the published thresholds; override the maps to
+    * tune or drop individual n. Fuses into the same scan-side filter.
+    */
+  final case class GopherNgramRules(
+      topCaps: Map[Int, Double] = graft.text.Repetition.TopNgramCaps,
+      dupCaps: Map[Int, Double] = graft.text.Repetition.DupNgramCaps)
+
   /** The chain with its stage plans exposed (all lazy DataFrames —
     * nothing is computed until a consumer acts): lets a driver write
     * the SAME contamination report / span profile / near-dup pair
@@ -171,7 +181,8 @@ object Curation {
       spanMinDf: Int = 2,
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[GopherRules] = None,
-      gopherLines: Option[GopherLineRules] = None
+      gopherLines: Option[GopherLineRules] = None,
+      gopherNgrams: Option[GopherNgramRules] = None
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val nearDupPairs = nearDup match {
@@ -226,7 +237,7 @@ object Curation {
         maxDupUnitFraction = r.maxDupUnitFraction,
         maxTopNgramCharFraction = r.maxTopNgramCharFraction))
     }
-    val qualified = gopherLines.foldLeft(qualifiedW) { (df, r) =>
+    val qualifiedL = gopherLines.foldLeft(qualifiedW) { (df, r) =>
       df.where(graft.text.Repetition.gopherLinePasses(
         col(textCol),
         maxDupLineFraction = r.maxDupLineFraction,
@@ -234,11 +245,16 @@ object Curation {
         maxBulletLineFraction = r.maxBulletLineFraction,
         maxEllipsisLineFraction = r.maxEllipsisLineFraction))
     }
+    val qualified = gopherNgrams.foldLeft(qualifiedL) { (df, r) =>
+      df.where(graft.text.Repetition.gopherNgramPasses(col(textCol), r.topCaps, r.dupCaps))
+    }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
     Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
       cleaned, qualified, sampled,
       gopherEvaluated =
-        if (gopher.isDefined || gopherLines.isDefined) Some(qualified0) else None)
+        if (gopher.isDefined || gopherLines.isDefined || gopherNgrams.isDefined)
+          Some(qualified0)
+        else None)
   }
 
   def curate(
@@ -260,9 +276,11 @@ object Curation {
       spanMinDf: Int = 2,
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[GopherRules] = None,
-      gopherLines: Option[GopherLineRules] = None
+      gopherLines: Option[GopherLineRules] = None,
+      gopherNgrams: Option[GopherNgramRules] = None
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
-      maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher, gopherLines).sampled
+      maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher, gopherLines,
+      gopherNgrams).sampled
 }

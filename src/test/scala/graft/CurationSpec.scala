@@ -160,6 +160,65 @@ class CurationSpec extends SparkSpec {
     assert(r._1 == 60 && r._2 == 45 && r._3 == 60 && r._4 == 45 && r._5 == 6.0)
   }
 
+  test("curate: gopher NGRAM stage gates on the full family; gopher_ngram_report audits it") {
+    import spark.implicits._
+    import graft.text.Repetition
+    // every %3 doc has its 60-word body doubled -> dup-5..10-gram cover
+    // ~1.0, failing every dup cap; the rest have unique bodies long
+    // enough that a single unrepeated top-n-gram stays under its cap
+    val corpus = (0L until 60L).map { i =>
+      val body = (1 to 60).map(w => s"tok${i * 61 + w}q").mkString(" ")
+      val t = if (i % 3 == 0) s"$body $body" else body
+      (i, t, "en")
+    }.toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    val base = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val gated = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6,
+        gopherNgrams = Some(Curation.GopherNgramRules()))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gated.subsetOf(base) && gated.nonEmpty)
+    assert(gated == base.filter(_ % 3 != 0)) // exactly the doubled docs dropped
+    val passing = corpus.where(Repetition.gopherNgramPasses(col("text")))
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(gated == base.intersect(passing))
+
+    // CLI grammar + cap overrides; unknown n fails fast
+    assert(RunCuration.parseGopherNgrams("default") == Curation.GopherNgramRules())
+    val tuned = RunCuration.parseGopherNgrams("top-2=0.5,dup-5=0.9")
+    assert(tuned.topCaps(2) == 0.5 && tuned.dupCaps(5) == 0.9)
+    assert(tuned.topCaps(3) == Repetition.TopNgramCaps(3)) // untouched
+    intercept[IllegalArgumentException](RunCuration.parseGopherNgrams("top-7=0.5"))
+    intercept[IllegalArgumentException](RunCuration.parseGopherNgrams("bogus=1"))
+
+    // the spark-submit core writes the n-gram report over the exact
+    // evaluated corpus; fingerprint gains a sorted-caps segment
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_ng_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out,
+      "--shingle-n", "6", "--gopher-ngrams", "default"))
+    assert(args.gopherNgrams == Some(Curation.GopherNgramRules()))
+    assert(RunCuration.configFingerprint(args).contains("gopherNgrams=top2=0.2"))
+    val (in, outN) = RunCuration.run(spark, corpus, eval, args)
+    assert(in == 60 && outN == 40)
+    val report = spark.read.parquet(s"$out/gopher_ngram_report")
+    assert(report.columns.toSet == Set("n_evaluated",
+      "n_top_2gram_ok", "n_top_3gram_ok", "n_top_4gram_ok",
+      "n_dup_5gram_ok", "n_dup_6gram_ok", "n_dup_7gram_ok",
+      "n_dup_8gram_ok", "n_dup_9gram_ok", "n_dup_10gram_ok",
+      "n_ngram_passes",
+      "p90_top_2gram_char_fraction", "max_top_2gram_char_fraction",
+      "p90_dup_5gram_char_fraction", "max_dup_5gram_char_fraction"))
+    val r = report.select(col("n_evaluated"), col("n_dup_5gram_ok"),
+      col("n_ngram_passes"), col("max_dup_5gram_char_fraction"))
+      .as[(Long, Long, Long, Double)].head()
+    assert(r._1 == 60 && r._2 == 40 && r._3 == 40 && r._4 == 1.0)
+  }
+
   test("curate: near-dup stage removes dominated clips; composite quality floor holds") {
     import spark.implicits._
     val all = spark.read.parquet(docs)
