@@ -294,8 +294,13 @@ class RepetitionSpec extends SparkSpec {
       Repetition.addSignals(df, "text")
         .withColumn("passes", Repetition.gopherPasses(col("text"),
           minWords = 20, minMeanWordLen = 4.0, maxDupUnitFraction = 0.6))
+        // the line and full-n-gram families are the same stateless
+        // shape — pin them to the batch plan in the same pass
+        .withColumn("line_passes", Repetition.gopherLinePasses(col("text")))
+        .withColumn("ngram_passes", Repetition.gopherNgramPasses(col("text")))
         .select("doc_id", "dup_unit_fraction", "dup_unit_char_fraction",
-          "top_ngram_char_fraction", "dup_ngram_unit_fraction", "passes")
+          "top_ngram_char_fraction", "dup_ngram_unit_fraction", "passes",
+          "line_passes", "ngram_passes")
 
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q = profiled(input.toDS().toDF("doc_id", "text"))
@@ -307,9 +312,11 @@ class RepetitionSpec extends SparkSpec {
     q.stop()
 
     val got = spark.table("stream_rep")
-      .as[(Long, Double, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+      .as[(Long, Double, Double, Double, Double, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
     val batch = profiled(corpus.toSeq.toDF("doc_id", "text"))
-      .as[(Long, Double, Double, Double, Double, Boolean)].collect().sortBy(_._1)
+      .as[(Long, Double, Double, Double, Double, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1)
     assert(got.toSeq == batch.toSeq && got.length == corpus.length)
     assert(got.exists(_._6) && got.exists(!_._6)) // the gate splits the stream
   }
