@@ -1038,6 +1038,27 @@ object SparkEntry {
           col("line_passes").cast("long").as("line_passes"))
     }),
 
+    // ---- cross-document LINE dedup (CCNet/RefinedWeb boilerplate-line
+    //      removal): the re-lined corpus plus injected footers — a
+    //      case-varying newsletter line on every %2 doc (df ~ n/2,
+    //      always over minDf=8) and a rare footer on every %100==1 doc
+    //      (df ~ n/100: kept at 500-doc SFs, removed at sf0.1 — the df
+    //      threshold semantics, exercised both ways). Output is the
+    //      REBUILT text, compared byte-for-byte.
+    "q_line_dedup" -> ((s, dir) => {
+      val foot = lit("  subscribe to our newsletter  ")
+      val f1 = when(col("doc_id") % 4 === 0, upper(foot)).otherwise(foot)
+      val fdocs = relinedDocs(s, dir).select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          when(col("doc_id") % 2 === 0, concat(lit("\n"), f1)).otherwise(lit("")),
+          when(col("doc_id") % 100 === 1, lit("\nrare footer line")).otherwise(lit(""))
+        ).as("text"))
+      graft.dedup.LineDedup.removeCommonLines(fdocs, "doc_id", "text", minDf = 8)
+        .select(col("doc_id"), col("text"))
+    }),
+
     // ---- the FULL Gopher n-gram family (Rae et al. 2021 Table A1):
     //      top-2/3/4-gram char fractions and dup-5..10-gram char-cover
     //      fractions at the published caps, over the repetition-injected
@@ -2847,6 +2868,39 @@ object SparkEntry {
            |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
            |  CAST(CASE WHEN $linePassPred THEN 1 ELSE 0 END AS BIGINT) AS line_passes
            |FROM lfr""".stripMargin,
+
+      // line-dedup replay: re-line, inject footers, count per-line
+      // document frequency on the normalized (lower+trim) form, drop
+      // >=8-df lines, rebuild in position order (all-removed docs
+      // become the empty string)
+      "q_line_dedup" ->
+        s"""WITH $relineCtes,
+           |fdocs AS (
+           |  SELECT doc_id,
+           |    text
+           |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+           |         CASE WHEN doc_id % 4 = 0 THEN upper('  subscribe to our newsletter  ')
+           |              ELSE '  subscribe to our newsletter  ' END
+           |       ELSE '' END
+           |    || CASE WHEN doc_id % 100 = 1 THEN chr(10) || 'rare footer line' ELSE '' END
+           |      AS text
+           |  FROM mdocs),
+           |lrows AS (
+           |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS line
+           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fdocs) t),
+           |lcom AS (
+           |  SELECT n
+           |  FROM (SELECT DISTINCT doc_id, lower(trim(line)) AS n
+           |        FROM lrows WHERE trim(line) <> '') d
+           |  GROUP BY 1 HAVING count(*) >= 8),
+           |lkeep AS (
+           |  SELECT doc_id, pos, line FROM lrows
+           |  WHERE lower(trim(line)) NOT IN (SELECT n FROM lcom)),
+           |lreb AS (
+           |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+           |  FROM lkeep GROUP BY doc_id)
+           |SELECT f.doc_id, coalesce(r.t, '') AS text
+           |FROM fdocs f LEFT JOIN lreb r USING (doc_id)""".stripMargin,
 
       // the generated full-n-gram-family replay: injected repetition,
       // per-n top/cover CTEs, fractions then flags at the published caps
