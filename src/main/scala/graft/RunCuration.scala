@@ -12,6 +12,7 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   * audit tables a data owner wants next to the mix (the contamination
   * report, the per-doc span profile when the boilerplate stage is on,
   * the near-dup pair/cluster tables when that stage is on, the
+  * common-line table when the line-dedup stage is on, the
   * per-rule gopher flag counts when a repetition-rule stage is on —
   * word family and/or line family, one report table each — and the
   * pre/post PII counts when redaction is on).
@@ -24,6 +25,7 @@ import graft.pipeline.Curation.{NearDupStage, SpanAction}
   *     [--gopher default | k=v[,k=v...]] \
   *     [--gopher-lines default | k=v[,k=v...]] \
   *     [--gopher-ngrams default | top-N=v,dup-N=v[,...]] \
+  *     [--line-dedup <minDf>] \
   *     [--shingle-n N] [--span-shingle-n N] [--span-min-df N] \
   *     [--rates en=0.5,zh=0.25] [--default-rate F] \
   *     [--upsample en=2.5,code=4] [--default-upsample F] [--redact] \
@@ -71,6 +73,7 @@ object RunCuration {
       gopher: Option[Curation.GopherRules] = None,
       gopherLines: Option[Curation.GopherLineRules] = None,
       gopherNgrams: Option[Curation.GopherNgramRules] = None,
+      lineDedupMinDf: Option[Int] = None,
       shingleN: Int = 13,
       spanShingleN: Int = 6,
       spanMinDf: Int = 2,
@@ -225,6 +228,8 @@ object RunCuration {
       parse(rest, acc.copy(gopherLines = Some(parseGopherLines(v))))
     case "--gopher-ngrams" :: v :: rest =>
       parse(rest, acc.copy(gopherNgrams = Some(parseGopherNgrams(v))))
+    case "--line-dedup" :: v :: rest =>
+      parse(rest, acc.copy(lineDedupMinDf = Some(numI("--line-dedup", v))))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))
@@ -273,6 +278,7 @@ object RunCuration {
           g.dupCaps.toSeq.sorted.map { case (n, c) => s"dup$n=$c" }).mkString(",")
         s"gopherNgrams=$caps"
       })
+      .++(a.lineDedupMinDf.map(m => s"lineDedupMinDf=$m"))
       .++(if (upsampleOn(a)) {
         val fs = a.upsample.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
         Seq(s"upsample=$fs", s"defaultUpsample=${a.defaultUpsample}")
@@ -334,7 +340,7 @@ object RunCuration {
       a.idCol, a.textCol, a.strataCol, a.evalTextCol,
       a.minTokens, a.rates, a.defaultRate, a.shingleN,
       a.nearDup, a.qualityFloor, a.maxDupFraction, a.spanShingleN, a.spanMinDf,
-      a.spanAction, a.gopher, a.gopherLines, a.gopherNgrams)
+      a.spanAction, a.gopher, a.gopherLines, a.gopherNgrams, a.lineDedupMinDf)
     // several writes + count/audit aggregations consume the staged
     // plans; without pinning, EACH action would replay the dedup +
     // near-dup pair join (the dominant cost) from scratch. Persist the
@@ -347,6 +353,13 @@ object RunCuration {
       staged.deduped.persist(StorageLevel.MEMORY_AND_DISK) ::
         staged.nearDupPairs.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.afterNearDup.persist(StorageLevel.MEMORY_AND_DISK) ::
+        // when the line stage is on, the whole downstream chain reads
+        // the rebuilt corpus (afterLineDedup is afterNearDup itself
+        // otherwise — do not double-persist the same plan)
+        staged.commonLineTable.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
+        (if (staged.commonLineTable.isDefined)
+           List(staged.afterLineDedup.persist(StorageLevel.MEMORY_AND_DISK))
+         else Nil) :::
         staged.contaminationReport.persist(StorageLevel.MEMORY_AND_DISK) ::
         staged.spanReport.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
         staged.spanProfile.map(_.persist(StorageLevel.MEMORY_AND_DISK)).toList :::
@@ -395,6 +408,14 @@ object RunCuration {
         graft.dedup.Dedup
           .nearDupClusters(spark, staged.deduped.select(col(a.idCol)), pairs, a.idCol)
           .write.mode("overwrite").parquet(s"${a.out}/neardup_clusters")
+      }
+      staged.commonLineTable.foreach { tbl =>
+        // the EXACT fingerprint table the line cut consumed, enriched
+        // with a representative normalized line per fingerprint (a
+        // df-bounded second pass over the pre-cut corpus)
+        graft.dedup.LineDedup
+          .commonLineAudit(staged.afterNearDup, a.idCol, a.textCol, tbl)
+          .write.mode("overwrite").parquet(s"${a.out}/common_lines")
       }
       a.gopher.zip(staged.gopherEvaluated).foreach { case (r, evaluated) =>
         // per-rule pass counts over the exact corpus the gopher stage

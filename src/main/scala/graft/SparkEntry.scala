@@ -50,6 +50,25 @@ object SparkEntry {
   private def read(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** The re-lined corpus plus injected cross-document footers: a
+    * case-varying newsletter line on every %2 doc (df ~ n/2) and a
+    * rare footer on every %100==1 doc (df ~ n/100) — the line-dedup
+    * queries' shared input (mirrored by the footerCtes oracle
+    * fragment).
+    */
+  private def footeredDocs(s: SparkSession, dir: String): DataFrame = {
+    val foot = lit("  subscribe to our newsletter  ")
+    val f1 = when(col("doc_id") % 4 === 0, upper(foot)).otherwise(foot)
+    relinedDocs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit("\n"), f1)).otherwise(lit("")),
+        when(col("doc_id") % 100 === 1, lit("\nrare footer line")).otherwise(lit(""))
+      ).as("text"),
+      col("lang"))
+  }
+
   /** Deterministic intra-document repetition injection (every %3 doc
     * gets its first 12 words appended again; every %7 doc its whole
     * text doubled) — the corpus has no natural duplicated 5..10-grams,
@@ -1046,17 +1065,27 @@ object SparkEntry {
     //      threshold semantics, exercised both ways). Output is the
     //      REBUILT text, compared byte-for-byte.
     "q_line_dedup" -> ((s, dir) => {
-      val foot = lit("  subscribe to our newsletter  ")
-      val f1 = when(col("doc_id") % 4 === 0, upper(foot)).otherwise(foot)
-      val fdocs = relinedDocs(s, dir).select(
-        col("doc_id"),
-        concat(
-          col("text"),
-          when(col("doc_id") % 2 === 0, concat(lit("\n"), f1)).otherwise(lit("")),
-          when(col("doc_id") % 100 === 1, lit("\nrare footer line")).otherwise(lit(""))
-        ).as("text"))
-      graft.dedup.LineDedup.removeCommonLines(fdocs, "doc_id", "text", minDf = 8)
+      graft.dedup.LineDedup
+        .removeCommonLines(footeredDocs(s, dir), "doc_id", "text", minDf = 8)
         .select(col("doc_id"), col("text"))
+    }),
+
+    // ---- the curation chain with the line-dedup stage mid-chain
+    //      (after exact dedup, before decontamination): downstream
+    //      stages judge the de-boilerplated text
+    "q_curate_line_dedup" -> ((s, dir) => {
+      val docs = footeredDocs(s, dir)
+      Curation.curate(
+        s,
+        docs.where(col("doc_id") % 20 =!= 0),
+        docs.where(col("doc_id") % 20 === 0).select(col("text")),
+        "doc_id", "text", "lang", "text",
+        minTokens = 20,
+        rates = Map("en" -> 0.5, "zh" -> 0.25),
+        defaultRate = 0.1,
+        shingleN = 6,
+        lineDedupMinDf = Some(8))
+        .select(col("doc_id"), col("lang"))
     }),
 
     // ---- the FULL Gopher n-gram family (Rae et al. 2021 Table A1):
@@ -1716,6 +1745,41 @@ object SparkEntry {
       """dup_line_fraction <= 0.3 AND dup_line_char_fraction <= 0.2
         |    AND bullet_line_fraction <= 0.9 AND ellipsis_line_fraction <= 0.3""".stripMargin
 
+    // footer injection over the re-lined corpus (SparkEntry.footeredDocs
+    // replay) — q_line_dedup and q_curate_line_dedup share it
+    // NOTE: no fragment line may START with "||" — the interpolating
+    // oracle strings call stripMargin on the joined text, which would
+    // eat one pipe of a leading "||"
+    val footerCtes =
+      """fdocs AS (
+        |  SELECT doc_id, lang,
+        |    text ||
+        |    CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
+        |         CASE WHEN doc_id % 4 = 0 THEN upper('  subscribe to our newsletter  ')
+        |              ELSE '  subscribe to our newsletter  ' END
+        |       ELSE '' END ||
+        |    CASE WHEN doc_id % 100 = 1 THEN chr(10) || 'rare footer line' ELSE '' END
+        |      AS text
+        |  FROM mdocs)""".stripMargin
+    // the LineDedup.removeCommonLines replay over $src: per-line doc
+    // frequency on the normalized (lower+trim) form, drop >= minDf
+    // lines, rebuild in position order (lreb holds the surviving text)
+    def lineCutCtes(src: String, minDf: Int) =
+      raw"""lrows AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM $src) t),
+        |lcom AS (
+        |  SELECT n
+        |  FROM (SELECT DISTINCT doc_id, lower(trim(line)) AS n
+        |        FROM lrows WHERE trim(line) <> '') d
+        |  GROUP BY 1 HAVING count(*) >= $minDf),
+        |lkeep AS (
+        |  SELECT doc_id, pos, line FROM lrows
+        |  WHERE lower(trim(line)) NOT IN (SELECT n FROM lcom)),
+        |lreb AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
+        |  FROM lkeep GROUP BY doc_id)""".stripMargin
+
     // full Gopher n-gram family oracle (q_gopher_ngrams), generated per
     // n so the Spark-side caps and the SQL stay in lockstep: ndocs =
     // the injected-repetition corpus (SparkEntry.injectedRepeats
@@ -1805,12 +1869,14 @@ object SparkEntry {
          |  FROM nbase b
          |$ngramJoins)""".stripMargin
 
-    // THE q_curate stage chain (corpus split, normalized dedup, 6-gram
-    // eval flagging, token floor) — q_curate, q_curate_gopher and
-    // q_curate_gopher_lines interpolate this one definition (the last
-    // over the re-lined mdocs source); the final two-residue sample
-    // predicate is shared alongside
-    def curateCtes(src: String) =
+    // THE q_curate stage chain in two shared pieces — the dedup head
+    // (corpus split + normalized dedup of $src) and the tail (6-gram
+    // eval flagging + token floor over a given docs table) — so a
+    // mid-chain text mutation (q_curate_line_dedup's line cut) can sit
+    // between them. q_curate / q_curate_gopher / q_curate_gopher_lines
+    // / q_curate_gopher_ngrams interpolate the joined form; the final
+    // two-residue sample predicate is shared alongside
+    def curateDedupCtes(src: String) =
       raw"""corpus AS (
         |  SELECT doc_id, text, lang FROM $src WHERE doc_id % 20 <> 0),
         |normed AS (
@@ -1820,10 +1886,17 @@ object SparkEntry {
         |dedup AS (
         |  SELECT doc_id, text, lang FROM (
         |    SELECT doc_id, text, lang, row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
-        |    FROM normed) WHERE rn = 1),
-        |toks AS (
+        |    FROM normed) WHERE rn = 1)""".stripMargin
+    // decontamination tail: corpus grams from $docsTbl (the possibly
+    // rebuilt post-dedup corpus), eval grams from $evalSrc's %20==0
+    // slice. (Equivalent to flagging over the RAW corpus: a dropped
+    // duplicate's flag never reaches `clean`, which filters $docsTbl.)
+    def curateTailCtes(docsTbl: String, evalSrc: String) =
+      raw"""toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tk
-        |  FROM $src),
+        |  FROM (SELECT doc_id, text FROM $docsTbl
+        |        UNION ALL
+        |        SELECT doc_id, text FROM $evalSrc WHERE doc_id % 20 = 0) u),
         |grams AS (
         |  SELECT doc_id, unnest(
         |    CASE WHEN len(tk) < 6 THEN [array_to_string(tk, ' ')]
@@ -1834,11 +1907,13 @@ object SparkEntry {
         |flagged AS (
         |  SELECT DISTINCT doc_id FROM grams JOIN egrams USING (gram) WHERE doc_id % 20 <> 0),
         |clean AS (
-        |  SELECT * FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |  SELECT * FROM $docsTbl WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
         |qual AS (
         |  SELECT * FROM clean
         |  WHERE (CASE WHEN len(trim(text)) = 0 THEN 0
         |         ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20)""".stripMargin
+    def curateCtes(src: String) =
+      curateDedupCtes(src) + ",\n" + curateTailCtes("dedup", src)
     val curateBaseCtes = curateCtes("documents")
     val curateSamplePred =
       """(((doc_id % 2147483647 + 2147483647) % 2147483647) * 1327217885
@@ -2875,32 +2950,26 @@ object SparkEntry {
       // become the empty string)
       "q_line_dedup" ->
         s"""WITH $relineCtes,
-           |fdocs AS (
-           |  SELECT doc_id,
-           |    text
-           |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) ||
-           |         CASE WHEN doc_id % 4 = 0 THEN upper('  subscribe to our newsletter  ')
-           |              ELSE '  subscribe to our newsletter  ' END
-           |       ELSE '' END
-           |    || CASE WHEN doc_id % 100 = 1 THEN chr(10) || 'rare footer line' ELSE '' END
-           |      AS text
-           |  FROM mdocs),
-           |lrows AS (
-           |  SELECT doc_id, unnest(generate_series(1, len(ls))) - 1 AS pos, unnest(ls) AS line
-           |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM fdocs) t),
-           |lcom AS (
-           |  SELECT n
-           |  FROM (SELECT DISTINCT doc_id, lower(trim(line)) AS n
-           |        FROM lrows WHERE trim(line) <> '') d
-           |  GROUP BY 1 HAVING count(*) >= 8),
-           |lkeep AS (
-           |  SELECT doc_id, pos, line FROM lrows
-           |  WHERE lower(trim(line)) NOT IN (SELECT n FROM lcom)),
-           |lreb AS (
-           |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t
-           |  FROM lkeep GROUP BY doc_id)
+           |$footerCtes,
+           |${lineCutCtes("fdocs", 8)}
            |SELECT f.doc_id, coalesce(r.t, '') AS text
            |FROM fdocs f LEFT JOIN lreb r USING (doc_id)""".stripMargin,
+
+      // the curation chain with the line-dedup stage mid-chain: exact
+      // dedup of the footer-injected corpus, cut >= 8-df lines over the
+      // dedup survivors (ldocs = the rebuilt corpus), then the decontam
+      // tail + floor + sample over the REBUILT text
+      "q_curate_line_dedup" ->
+        s"""WITH $relineCtes,
+           |$footerCtes,
+           |${curateDedupCtes("fdocs")},
+           |${lineCutCtes("dedup", 8)},
+           |ldocs AS (
+           |  SELECT d.doc_id, coalesce(r.t, '') AS text, d.lang
+           |  FROM dedup d LEFT JOIN lreb r USING (doc_id)),
+           |${curateTailCtes("ldocs", "fdocs")}
+           |SELECT doc_id, lang FROM qual
+           |WHERE $curateSamplePred""".stripMargin,
 
       // the generated full-n-gram-family replay: injected repetition,
       // per-n top/cover CTEs, fractions then flags at the published caps

@@ -66,25 +66,50 @@ object LineDedup {
   def commonLines(docs: DataFrame, idCol: String, textCol: String, minDf: Int): DataFrame =
     lineDf(docs, idCol, textCol).where(col("df") >= minDf)
 
-  /** Rebuilds `textCol` with every >= minDf-common line removed
-    * (survivor lines keep their original bytes and order; a document
-    * reduced to nothing becomes the empty string, and null text is
-    * treated as empty). All other columns pass through unchanged.
+  /** A human-readable enrichment of [[commonLines]]: adds a
+    * representative normalized `line` per fingerprint (the audit a
+    * reviewer actually reads). The text enrichment is a SEPARATE
+    * df-bounded pass — the exploded lines are left-semi filtered to
+    * the common fingerprints BEFORE any text rides an exchange, and
+    * the representative is a `min` with map-side partials (one string
+    * per fingerprint per mapper).
     */
-  def removeCommonLines(
+  def commonLineAudit(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minDf: Int
+      common: DataFrame // the (lh1, lh2, df) table the removal consumed
+  ): DataFrame = {
+    val rep = lineRows(docs, idCol, textCol)
+      .select(
+        xxhash64(normLine(col("_line"))).as("lh1"),
+        xxhash64(normLine(col("_line")), lit(Seed2)).as("lh2"),
+        normLine(col("_line")).as("line"))
+      .join(common.select(col("lh1"), col("lh2")), Seq("lh1", "lh2"), "left_semi")
+      .groupBy(col("lh1"), col("lh2"))
+      .agg(min(col("line")).as("line"))
+    common.join(rep, Seq("lh1", "lh2"), "left")
+  }
+
+  /** Rebuilds `textCol` with every line whose fingerprint is in
+    * `common` removed — the table-driven core, so a caller (the
+    * curation pipeline) can audit the EXACT table the removal
+    * consumed. Survivor lines keep their original bytes and order; a
+    * document reduced to nothing becomes the empty string, and null
+    * text is treated as empty. All other columns pass through.
+    */
+  def removeLines(
+      docs: DataFrame,
+      common: DataFrame, // carries (lh1, lh2)
+      idCol: String,
+      textCol: String
   ): DataFrame = {
     import graft.util.Cols.fresh
     val cT = fresh(docs.columns.toSet, "_ld_text")
     val kept = lineRows(docs, idCol, textCol)
       .withColumn("lh1", xxhash64(normLine(col("_line"))))
       .withColumn("lh2", xxhash64(normLine(col("_line")), lit(Seed2)))
-      .join(
-        commonLines(docs, idCol, textCol, minDf).select(col("lh1"), col("lh2")),
-        Seq("lh1", "lh2"), "left_anti")
+      .join(common.select(col("lh1"), col("lh2")), Seq("lh1", "lh2"), "left_anti")
       .groupBy(col(idCol))
       .agg(
         concat_ws(
@@ -98,6 +123,15 @@ object LineDedup {
       .withColumn(textCol, coalesce(col(cT), lit("")))
       .drop(cT)
   }
+
+  /** [[removeLines]] against the corpus' own >= minDf common lines. */
+  def removeCommonLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDf: Int
+  ): DataFrame =
+    removeLines(docs, commonLines(docs, idCol, textCol, minDf), idCol, textCol)
 
   /** Driver-collected common-line hash table for the ingestion-time
     * variant, guarded against unbounded collects the same way

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.dedup.{Decontam, Dedup, SpanDedup}
+import graft.dedup.{Decontam, Dedup, LineDedup, SpanDedup}
 import graft.sampling.Sampling
 import graft.text.TextOps
 
@@ -18,6 +18,10 @@ import graft.text.TextOps
   *      dedup THEN near-dup before decontamination: a similarity pair
   *      join — exact prefix-filtered Jaccard or MinHash-LSH — feeding
   *      the pairwise smaller-id-wins survivor policy),
+  *   2b. optional cross-document LINE dedup ([[LineDedup]]): cut lines
+  *      appearing in >= lineDedupMinDf documents (nav bars, banners)
+  *      BEFORE the span stage, so passage detection and every
+  *      downstream signal judge the de-boilerplated text,
   *   3. optional BOILERPLATE handling: drop documents whose
   *      [[SpanDedup.spanStats]] duplicated-token fraction exceeds a
   *      cap, and/or CUT the duplicated spans out of the survivors
@@ -89,7 +93,8 @@ object Curation {
       * documents. When `maxDupFraction` is also set, documents over
       * the cap still drop (they are boilerplate wholesale) and the
       * survivors get their spans cut; both decisions read the same
-      * span report, measured once on the post-near-dup corpus.
+      * span report, measured once on the post-near-dup (and, when that
+      * stage is on, post-line-dedup) corpus.
       * Downstream stages (decontam, quality, sampling) see the CUT
       * text — the pipeline order a real curation run wants (remove
       * boilerplate, then decontaminate what remains).
@@ -147,6 +152,10 @@ object Curation {
       deduped: DataFrame,
       nearDupPairs: Option[DataFrame], // what the survivor policy consumed
       afterNearDup: DataFrame,
+      // the fingerprint table the line cut consumed (Some iff the line
+      // dedup stage is on) and the corpus after the cut
+      commonLineTable: Option[DataFrame],
+      afterLineDedup: DataFrame,
       spanReport: Option[DataFrame], // the spans both span decisions read
       spanProfile: Option[DataFrame], // what the boilerplate cap thresholded
       afterSpans: DataFrame,
@@ -182,7 +191,8 @@ object Curation {
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[GopherRules] = None,
       gopherLines: Option[GopherLineRules] = None,
-      gopherNgrams: Option[GopherNgramRules] = None
+      gopherNgrams: Option[GopherNgramRules] = None,
+      lineDedupMinDf: Option[Int] = None
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val nearDupPairs = nearDup match {
@@ -194,17 +204,26 @@ object Curation {
     }
     val afterNearDup = nearDupPairs.fold(deduped)(
       Dedup.nearDupSurvivorsFromPairs(deduped, _, idCol))
+    // cross-document line dedup cuts >= minDf-common lines BEFORE the
+    // span stage, so passage detection and every downstream signal
+    // judge the de-boilerplated text; the consumed fingerprint table is
+    // exposed for the audit
+    val commonLineTable = lineDedupMinDf.map(
+      LineDedup.commonLines(afterNearDup, idCol, textCol, _))
+    val afterLineDedup = commonLineTable.fold(afterNearDup)(
+      LineDedup.removeLines(afterNearDup, _, idCol, textCol))
     // the boilerplate stage is on when a drop cap is set OR the action
     // is surgery; both decisions read ONE span report measured on the
-    // post-near-dup corpus
+    // post-line-dedup corpus
     val spanStageOn = maxDupFraction.isDefined || spanAction == SpanAction.CutSpans
     val spanReport =
       if (spanStageOn)
-        Some(SpanDedup.duplicateSpans(spark, afterNearDup, idCol, textCol, spanShingleN, spanMinDf))
+        Some(SpanDedup
+          .duplicateSpans(spark, afterLineDedup, idCol, textCol, spanShingleN, spanMinDf))
       else None
     val spanProfile = spanReport.map(
-      SpanDedup.spanStatsFromReport(afterNearDup, _, idCol, textCol))
-    val afterDrop = maxDupFraction.zip(spanProfile).foldLeft(afterNearDup) {
+      SpanDedup.spanStatsFromReport(afterLineDedup, _, idCol, textCol))
+    val afterDrop = maxDupFraction.zip(spanProfile).foldLeft(afterLineDedup) {
       case (df, (cap, profile)) =>
         df.join(
           profile.where(col("dup_fraction") > cap).select(col(idCol)),
@@ -249,7 +268,8 @@ object Curation {
       df.where(graft.text.Repetition.gopherNgramPasses(col(textCol), r.topCaps, r.dupCaps))
     }
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
-    Staged(deduped, nearDupPairs, afterNearDup, spanReport, spanProfile, afterSpans, report,
+    Staged(deduped, nearDupPairs, afterNearDup, commonLineTable, afterLineDedup,
+      spanReport, spanProfile, afterSpans, report,
       cleaned, qualified, sampled,
       gopherEvaluated =
         if (gopher.isDefined || gopherLines.isDefined || gopherNgrams.isDefined)
@@ -277,10 +297,11 @@ object Curation {
       spanAction: SpanAction = SpanAction.DropDocs,
       gopher: Option[GopherRules] = None,
       gopherLines: Option[GopherLineRules] = None,
-      gopherNgrams: Option[GopherNgramRules] = None
+      gopherNgrams: Option[GopherNgramRules] = None,
+      lineDedupMinDf: Option[Int] = None
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
       maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher, gopherLines,
-      gopherNgrams).sampled
+      gopherNgrams, lineDedupMinDf).sampled
 }

@@ -40,6 +40,48 @@ class LineDedupSpec extends SparkSpec {
     assert(common.select(col("df")).as[Long].head() == 6)
   }
 
+  test("curation line-dedup stage cuts footers before downstream stages; audit table written") {
+    import spark.implicits._
+    import graft.pipeline.Curation
+    // every doc shares a footer line; bodies are unique and long enough
+    // for the token floor only WITH the footer removed the floor still
+    // holds (12-word bodies, floor 5)
+    val corpus = (0L until 30L).map { i =>
+      val body = (1 to 12).map(w => s"word${i * 13 + w}z").mkString(" ")
+      (i, s"$body\nFollow Us On Social Media", "en")
+    }.toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    def run(m: Option[Int]) = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 5,
+        Map.empty, 1.0, shingleN = 6, lineDedupMinDf = m)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    val base = run(None)
+    val gated = run(Some(3))
+    assert(base.keySet == gated.keySet && gated.nonEmpty)
+    base.values.foreach(t => assert(t.contains("Follow Us On Social Media")))
+    gated.foreach { case (i, t) =>
+      assert(!t.contains("Follow Us"), s"doc $i kept the footer")
+      assert(t == t.trim && t.split("\n").length == 1) // body only, no dangling newline
+    }
+
+    // spark-submit core: --line-dedup flag, fingerprint segment, and
+    // the common_lines audit carrying the footer's normalized text
+    assert(!RunCuration.configFingerprint(RunCuration.Args()).contains("lineDedupMinDf"))
+    val out = java.nio.file.Files.createTempDirectory("graft_curation_ldedup_").toString
+    val args = RunCuration.parse(List(
+      "--docs", "u", "--eval", "u", "--out", out,
+      "--shingle-n", "6", "--min-tokens", "5", "--line-dedup", "3"))
+    assert(args.lineDedupMinDf == Some(3))
+    assert(RunCuration.configFingerprint(args).contains("lineDedupMinDf=3"))
+    val (in, outN) = RunCuration.run(spark, corpus, eval, args)
+    assert(in == 30 && outN == 30)
+    val shipped = spark.read.parquet(s"$out/corpus")
+    assert(shipped.where(col("text").contains("Follow Us")).count() == 0)
+    val audit = spark.read.parquet(s"$out/common_lines")
+      .select(col("line"), col("df")).as[(String, Long)].collect()
+    assert(audit.toSeq == Seq(("follow us on social media", 30L)))
+  }
+
   test("streaming scrub equals the distributed removal; broadcast guard fails fast") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260818L)
