@@ -30,6 +30,10 @@ import graft.util.Hashing
   * length. The common-line table is df-filtered (every surviving entry
   * appears in >= minDf documents, so its size is <= corpus-lines /
   * minDf) and AQE broadcasts it when small.
+  *
+  * Contract: `idCol` must be a UNIQUE, NON-NULL row id (the same
+  * contract as [[Dedup.normalizedExact]] — the rebuild groups by it
+  * and joins the result back on it).
   */
 object LineDedup {
 
