@@ -229,7 +229,12 @@ object RunCuration {
     case "--gopher-ngrams" :: v :: rest =>
       parse(rest, acc.copy(gopherNgrams = Some(parseGopherNgrams(v))))
     case "--line-dedup" :: v :: rest =>
-      parse(rest, acc.copy(lineDedupMinDf = Some(numI("--line-dedup", v))))
+      val m = numI("--line-dedup", v)
+      // minDf=1 marks EVERY non-empty line common and blanks the whole
+      // corpus — fail fast instead of shipping an empty mix
+      if (m < 2) throw new IllegalArgumentException(
+        s"--line-dedup expects minDf >= 2 (got $m): every line has df >= 1")
+      parse(rest, acc.copy(lineDedupMinDf = Some(m)))
     case "--shingle-n" :: v :: rest => parse(rest, acc.copy(shingleN = numI("--shingle-n", v)))
     case "--span-shingle-n" :: v :: rest =>
       parse(rest, acc.copy(spanShingleN = numI("--span-shingle-n", v)))

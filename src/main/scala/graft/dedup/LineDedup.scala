@@ -33,7 +33,9 @@ import graft.util.Hashing
   *
   * Contract: `idCol` must be a UNIQUE, NON-NULL row id (the same
   * contract as [[Dedup.normalizedExact]] — the rebuild groups by it
-  * and joins the result back on it).
+  * and joins the result back on it), and must not be one of the
+  * reserved working names (`lh1`, `lh2`, `df`, `line`, `_pos`,
+  * `_line`) — enforced with a fail-fast.
   */
 object LineDedup {
 
@@ -41,10 +43,17 @@ object LineDedup {
 
   private def normLine(l: Column): Column = lower(trim(l))
 
-  private def lineRows(docs: DataFrame, idCol: String, textCol: String) =
+  /** Column names the passes use internally / emit — an idCol named
+    * like one of these would be silently overwritten mid-pass.
+    */
+  private val Reserved = Set("lh1", "lh2", "df", "line", "_pos", "_line")
+
+  private def lineRows(docs: DataFrame, idCol: String, textCol: String) = {
+    require(!Reserved(idCol), s"idCol '$idCol' collides with a reserved working column")
     docs.select(
       col(idCol),
       posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("_pos", "_line")))
+  }
 
   /** Per-line document frequency over the corpus: one row per distinct
     * normalized non-empty line, keyed by the 128-bit fingerprint
@@ -200,7 +209,10 @@ object LineDedup {
         }
         t.split("\n", -1)
           .filter { l =>
-            val n = sqlTrim(l).toLowerCase
+            // Locale.ROOT: the broadcast table was normalized by Spark's
+            // locale-independent lower(); a tr/az default locale would
+            // map 'I' -> dotless i and silently miss the table
+            val n = sqlTrim(l).toLowerCase(java.util.Locale.ROOT)
             n.isEmpty ||
             java.util.Arrays.binarySearch(common.value, Hashing.hashString(n)) < 0
           }

@@ -344,7 +344,9 @@ object Repetition {
     }
     val allOk =
       (topCaps.keys.toSeq.sorted.map(n => col(s"top_${n}gram_ok")) ++
-        dupCaps.keys.toSeq.sorted.map(n => col(s"dup_${n}gram_ok"))).reduce(_ && _)
+        dupCaps.keys.toSeq.sorted.map(n => col(s"dup_${n}gram_ok")))
+        .reduceOption(_ && _)
+        .getOrElse(lit(true)) // no caps configured = vacuous pass
     withDup.withColumn("ngram_passes", allOk)
   }
 
@@ -379,7 +381,7 @@ object Repetition {
           val dupOks = dupCaps.toSeq.sorted.map { case (n, cap) =>
             dupNgramCoverFrac(u, n) <= cap
           }
-          (topOks ++ dupOks).reduce(_ && _)
+          (topOks ++ dupOks).reduceOption(_ && _).getOrElse(lit(true))
         }),
       lit(1))
 

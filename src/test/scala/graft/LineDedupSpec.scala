@@ -72,6 +72,8 @@ class LineDedupSpec extends SparkSpec {
       "--docs", "u", "--eval", "u", "--out", out,
       "--shingle-n", "6", "--min-tokens", "5", "--line-dedup", "3"))
     assert(args.lineDedupMinDf == Some(3))
+    // minDf=1 would mark every line common and blank the corpus
+    intercept[IllegalArgumentException](RunCuration.parse(List("--line-dedup", "1")))
     assert(RunCuration.configFingerprint(args).contains("lineDedupMinDf=3"))
     val (in, outN) = RunCuration.run(spark, corpus, eval, args)
     assert(in == 30 && outN == 30)

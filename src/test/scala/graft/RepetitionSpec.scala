@@ -217,6 +217,11 @@ class RepetitionSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().toMap
     assert(viaFlags == viaPred)
     assert(viaFlags.values.exists(identity) && viaFlags.values.exists(!_))
+    // no caps configured = vacuous pass, not an empty.reduce crash
+    val vacuous = df
+      .select(Repetition.gopherNgramPasses(col("text"), Map.empty, Map.empty).as("p"))
+      .where(!col("p")).count()
+    assert(vacuous == 0)
   }
 
   test("addLineFlags: hand-computed multi-line document") {
