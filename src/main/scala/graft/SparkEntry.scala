@@ -1057,6 +1057,30 @@ object SparkEntry {
           col("line_passes").cast("long").as("line_passes"))
     }),
 
+    // ---- Gopher PARAGRAPH rules (dup-paragraph fraction/chars) over a
+    //      deterministically re-paragraphed corpus (6-word paragraphs;
+    //      every %5 doc's paragraph block doubled so the rules decide
+    //      both ways). Signals are addSignals at unitSep="\n\n" — the
+    //      same machinery the oracled word/line modes pin.
+    "q_gopher_paragraphs" -> ((s, dir) => {
+      val para = regexp_replace(col("text"), "((\\S+ ){5}\\S+) ", "$1\n\n")
+      val mlt = when(col("doc_id") % 5 === 0, concat(para, lit("\n\n"), para)).otherwise(para)
+      graft.text.Repetition
+        .addSignals(
+          read(s, dir, "documents").select(col("doc_id"), mlt.as("text")),
+          "text", unitSep = "\\n\\n")
+        .select(
+          col("doc_id"),
+          col("n_units").cast("long").as("n_paragraphs"),
+          col("n_distinct_units").cast("long").as("n_distinct_paragraphs"),
+          col("dup_unit_fraction").as("dup_para_fraction"),
+          col("dup_unit_char_fraction").as("dup_para_char_fraction"),
+          (col("dup_unit_fraction") <= 0.3).cast("long").as("dup_para_ok"),
+          (col("dup_unit_char_fraction") <= 0.2).cast("long").as("dup_para_chars_ok"),
+          (col("dup_unit_fraction") <= 0.3 && col("dup_unit_char_fraction") <= 0.2)
+            .cast("long").as("para_passes"))
+    }),
+
     // ---- cross-document LINE dedup (CCNet/RefinedWeb boilerplate-line
     //      removal): the re-lined corpus plus injected footers — a
     //      case-varying newsletter line on every %2 doc (df ~ n/2,
@@ -2943,6 +2967,46 @@ object SparkEntry {
            |  CAST(CASE WHEN ellipsis_line_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS ellipsis_ok,
            |  CAST(CASE WHEN $linePassPred THEN 1 ELSE 0 END AS BIGINT) AS line_passes
            |FROM lfr""".stripMargin,
+
+      // paragraph-rule replay: re-paragraph (6-word paragraphs, %5
+      // docs' block doubled), then dup-paragraph fraction / chars over
+      // trimmed/lowercased non-empty paragraphs at the Table A1 caps
+      "q_gopher_paragraphs" ->
+        raw"""WITH pdocs AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 5 = 0 THEN p || chr(10) || chr(10) || p ELSE p END AS text
+           |  FROM (SELECT doc_id,
+           |          regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10) || chr(10), 'g') AS p
+           |        FROM documents) t),
+           |punits AS (
+           |  SELECT doc_id,
+           |    list_filter(list_transform(string_split(text, chr(10) || chr(10)),
+           |                               x -> lower(trim(x))), x -> x <> '') AS u
+           |  FROM pdocs),
+           |pbase AS (
+           |  SELECT doc_id, len(u) AS n, len(list_distinct(u)) AS d,
+           |    coalesce(list_sum(list_transform(u, x -> len(x))), 0) AS tot
+           |  FROM punits),
+           |pcnt AS (
+           |  SELECT doc_id, x, count(*) AS cnt
+           |  FROM (SELECT doc_id, unnest(u) AS x FROM punits) q GROUP BY 1, 2),
+           |pdup AS (
+           |  SELECT doc_id, sum(CASE WHEN cnt >= 2 THEN cnt * len(x) ELSE 0 END) AS dup_chars
+           |  FROM pcnt GROUP BY 1),
+           |pfr AS (
+           |  SELECT b.doc_id,
+           |    CAST(b.n AS BIGINT) AS n_paragraphs, CAST(b.d AS BIGINT) AS n_distinct_paragraphs,
+           |    CASE WHEN b.n > 0 THEN round((b.n - b.d) / b.n, 6) ELSE 0.0 END AS dup_para_fraction,
+           |    CASE WHEN b.tot > 0 THEN round(coalesce(p.dup_chars, 0) / b.tot, 6)
+           |         ELSE 0.0 END AS dup_para_char_fraction
+           |  FROM pbase b LEFT JOIN pdup p USING (doc_id))
+           |SELECT doc_id, n_paragraphs, n_distinct_paragraphs,
+           |  dup_para_fraction, dup_para_char_fraction,
+           |  CAST(CASE WHEN dup_para_fraction <= 0.3 THEN 1 ELSE 0 END AS BIGINT) AS dup_para_ok,
+           |  CAST(CASE WHEN dup_para_char_fraction <= 0.2 THEN 1 ELSE 0 END AS BIGINT) AS dup_para_chars_ok,
+           |  CAST(CASE WHEN dup_para_fraction <= 0.3 AND dup_para_char_fraction <= 0.2
+           |        THEN 1 ELSE 0 END AS BIGINT) AS para_passes
+           |FROM pfr""".stripMargin,
 
       // line-dedup replay: re-line, inject footers, count per-line
       // document frequency on the normalized (lower+trim) form, drop

@@ -482,6 +482,36 @@ object Repetition {
         }),
       lit(1))
 
+  /** The Gopher PARAGRAPH rules (Table A1's remaining pair: duplicate
+    * paragraph fraction <= 0.30, duplicate paragraph character
+    * fraction <= 0.20) as ONE predicate Column. Paragraphs are the
+    * `"\n\n"` repetition units — [[addSignals]] with that `unitSep`
+    * computes the same two signals as `dup_unit_fraction` /
+    * `dup_unit_char_fraction` (pinned equal by spec); this is the
+    * fused filter form a curation pipeline composes with the other
+    * family gates. Sub-two-paragraph documents pass vacuously.
+    */
+  def gopherParagraphPasses(
+      text: Column,
+      maxDupParagraphFraction: Double = 0.3,
+      maxDupParagraphCharFraction: Double = 0.2
+  ): Column =
+    element_at(
+      transform(
+        array(units(text, "\n\n")),
+        u => {
+          val n = size(u)
+          val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
+          val dupFrac =
+            when(n > 0, round((n - size(array_distinct(u))).cast("double") / n, 6))
+              .otherwise(lit(0.0))
+          val dupCharFrac =
+            when(totChars > 0, round(dupRunChars(array_sort(u)).cast("double") / totChars, 6))
+              .otherwise(lit(0.0))
+          dupFrac <= maxDupParagraphFraction && dupCharFrac <= maxDupParagraphCharFraction
+        }),
+      lit(1))
+
   /** The whole Gopher rule conjunction as ONE predicate Column — the
     * form a curation pipeline filters with (`df.where(gopherPasses(
     * col("text")))`): no added columns to drop, fuses with neighboring

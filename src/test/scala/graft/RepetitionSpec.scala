@@ -224,6 +224,26 @@ class RepetitionSpec extends SparkSpec {
     assert(vacuous == 0)
   }
 
+  test("gopherParagraphPasses: equals the addSignals paragraph-mode signals at the caps") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260819L)
+    val corpus = (0L until 120L).map { i =>
+      val paras = (0 to rnd.nextInt(5)).map(j => s"para body ${i}_${j % 3} text")
+      (i, paras.mkString("\n\n")) // j%3 -> repeated paragraphs within a doc
+    } :+ (120L, null.asInstanceOf[String]) :+ (121L, "single paragraph only")
+    val df = corpus.toDF("doc_id", "text")
+    val viaSignals = Repetition.addSignals(df, "text", unitSep = "\\n\\n")
+      .select(col("doc_id"),
+        (col("dup_unit_fraction") <= 0.3 && col("dup_unit_char_fraction") <= 0.2).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    val viaPred = df
+      .select(col("doc_id"), Repetition.gopherParagraphPasses(col("text")).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(viaSignals == viaPred)
+    assert(viaPred.values.exists(identity) && viaPred.values.exists(!_))
+    assert(viaPred(120L) && viaPred(121L)) // null / single-paragraph pass vacuously
+  }
+
   test("addLineFlags: hand-computed multi-line document") {
     import spark.implicits._
     val df = Seq((1L, "- A b ...\n- a B ...\nc")).toDF("doc_id", "text")
