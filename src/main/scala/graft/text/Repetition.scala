@@ -293,9 +293,15 @@ object Repetition {
     * unit characters.
     *
     * Same scale shape as [[addSignals]]: pure scan-side Column
-    * expressions, one `array_sort` + linear passes per (doc, n), no
-    * UDF, no shuffle; per-doc cost O(L·Σn). Fractions are
-    * `round(·, 6)`; empty / null / sub-n documents profile as zeros.
+    * expressions, no UDF, no shuffle. Per-doc cost per n is
+    * O(L log L) for the sort plus O(L·d) for the dup-flag membership
+    * pass, where d = the number of DISTINCT duplicated n-grams in the
+    * document — d is tiny for natural text, and a pathological
+    * fully-repetitive document is bounded by its own length squared
+    * (the same caveat [[addSignals]] documents: pre-truncate such docs
+    * or use [[graft.dedup.SpanDedup]]'s distributed report if that
+    * population matters). Fractions are `round(·, 6)`; empty / null /
+    * sub-n documents profile as zeros.
     */
   def addNgramSignals(
       df: DataFrame,
