@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.{Decontam, Dedup, LineDedup, SpanDedup}
@@ -192,7 +192,13 @@ object Curation {
       gopher: Option[GopherRules] = None,
       gopherLines: Option[GopherLineRules] = None,
       gopherNgrams: Option[GopherNgramRules] = None,
-      lineDedupMinDf: Option[Int] = None
+      lineDedupMinDf: Option[Int] = None,
+      // any extra scan-side predicate fused into the same quality
+      // filter (e.g. Repetition.gopherParagraphPasses(col(textCol)),
+      // a domain blocklist, a language gate): it judges the text the
+      // pipeline would actually ship (post line-dedup / span surgery),
+      // which a pre-curate filter on the raw input cannot
+      extraRule: Option[Column] = None
   ): Staged = {
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
     val nearDupPairs = nearDup match {
@@ -264,9 +270,10 @@ object Curation {
         maxBulletLineFraction = r.maxBulletLineFraction,
         maxEllipsisLineFraction = r.maxEllipsisLineFraction))
     }
-    val qualified = gopherNgrams.foldLeft(qualifiedL) { (df, r) =>
+    val qualifiedN = gopherNgrams.foldLeft(qualifiedL) { (df, r) =>
       df.where(graft.text.Repetition.gopherNgramPasses(col(textCol), r.topCaps, r.dupCaps))
     }
+    val qualified = extraRule.foldLeft(qualifiedN)(_.where(_))
     val sampled = Sampling.stratified(qualified, strataCol, idCol, rates, defaultRate)
     Staged(deduped, nearDupPairs, afterNearDup, commonLineTable, afterLineDedup,
       spanReport, spanProfile, afterSpans, report,
@@ -298,10 +305,11 @@ object Curation {
       gopher: Option[GopherRules] = None,
       gopherLines: Option[GopherLineRules] = None,
       gopherNgrams: Option[GopherNgramRules] = None,
-      lineDedupMinDf: Option[Int] = None
+      lineDedupMinDf: Option[Int] = None,
+      extraRule: Option[Column] = None
   ): DataFrame =
     curateStaged(spark, docs, evalDocs, idCol, textCol, strataCol, evalTextCol,
       minTokens, rates, defaultRate, shingleN, nearDup, qualityFloor,
       maxDupFraction, spanShingleN, spanMinDf, spanAction, gopher, gopherLines,
-      gopherNgrams, lineDedupMinDf).sampled
+      gopherNgrams, lineDedupMinDf, extraRule).sampled
 }

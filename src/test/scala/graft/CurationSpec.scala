@@ -548,6 +548,30 @@ class CurationSpec extends SparkSpec {
     b.foreach { case (i, t, _) => assert(dropCap(i) == t) }
   }
 
+  test("curate: extraRule judges the SHIPPED text (post span surgery), not the raw input") {
+    import spark.implicits._
+    import graft.pipeline.Curation.SpanAction
+    import graft.text.TextOps
+    val boiler = "terms of service apply to all users of this site always"
+    // A-docs: 11 boilerplate tokens + 3 unique -> CutSpans leaves 3
+    // tokens; C-docs: 6 unique tokens, untouched by surgery
+    val a = (0L until 8L).map(i => (i, s"$boiler u$i v$i w$i", "en"))
+    val c = (100L until 108L).map(i => (i, s"doc$i body$i text$i words$i here$i only$i", "en"))
+    val corpus = (a ++ c).toDF("doc_id", "text", "lang")
+    val eval = Seq("nothing matching anything at all").toDF("text")
+    val rule = TextOps.tokenCount(col("text")) >= 5
+    def run(action: SpanAction) = Curation
+      .curate(spark, corpus, eval, "doc_id", "text", "lang", "text", 0,
+        Map.empty, 1.0, shingleN = 6, spanShingleN = 3, spanAction = action,
+        extraRule = Some(rule))
+      .select(col("doc_id")).as[Long].collect().toSet
+    // no surgery: every A doc has 14 raw tokens -> the rule keeps all
+    assert(run(SpanAction.DropDocs) == (a ++ c).map(_._1).toSet)
+    // with surgery the rule sees the CUT text (3 tokens) and drops A —
+    // a pre-curate filter on raw input could not make this decision
+    assert(run(SpanAction.CutSpans) == c.map(_._1).toSet)
+  }
+
   test("curate: boilerplate stage drops span-heavy docs that near-dup keeps") {
     import spark.implicits._
     val boiler = "terms of service apply to all users of this site always"
