@@ -233,53 +233,74 @@ object Repetition {
     * characters of the units under at least one n-gram window that
     * repeats within the document, over all unit characters. Built as
     * NESTED one-element-`transform` let-bindings pinning the gram
-    * array, its duplicated-gram set and the per-window dup flags to
+    * array, its sorted positional form and the per-window dup flags to
     * ONE evaluation each — Spark has no subexpression elimination
     * across higher-order-function subtrees, and CollapseProject will
     * inline a once-referenced temp column INTO the probe lambda, where
     * it would re-evaluate per probed window (O(L² log L) per document,
-    * measured as a stuck scan). Let-bound, the cover pass is O(L·n).
+    * measured as a stuck scan).
+    *
+    * Duplicate detection is a positional sort-and-mark: sort
+    * (gram, pos) structs, mark each as duplicated iff it equals a
+    * sorted neighbor, then restore window order by re-sorting the
+    * (pos, flag) marks — O(L log L) total, independent of how
+    * repetitive the document is (a membership probe against the
+    * distinct-duplicated-gram set is O(L·d), quadratic on a fully
+    * repetitive document). The cover walk is O(L·n).
     */
   private def dupNgramCoverFrac(u: Column, n: Int): Column = {
     val t = size(u)
     val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
-    element_at(
-      transform(
-        array(ngrams(u, n)),
-        g => {
-          val m = size(g)
-          val sortedG = array_sort(g)
-          val dupSetExpr = array_distinct(
-            filter(
-              zip_with(sortedG, slice(sortedG, lit(2), greatest(size(sortedG) - 1, lit(0))),
-                (a, b) => when(a === b, a)),
-              x => x.isNotNull))
-          element_at(
-            transform(
-              array(dupSetExpr),
-              dupSet =>
-                element_at(
-                  transform(
-                    array(transform(g, x => array_contains(dupSet, x))),
-                    flags => {
-                      val coveredChars = aggregate(
-                        sequence(lit(0), t - 1),
-                        lit(0L),
-                        (acc, j) =>
-                          acc + when(
-                            exists(
-                              sequence(greatest(lit(0), j - (n - 1)), least(j, m - 1)),
-                              i => element_at(flags, i + 1)),
-                            length(element_at(u, j + 1)).cast("long")).otherwise(lit(0L)))
-                      when(
-                        t >= n && totChars > 0,
-                        round(coveredChars.cast("double") / totChars, 6))
-                        .otherwise(lit(0.0))
-                    }),
-                  lit(1))),
-            lit(1))
-        }),
-      lit(1))
+    // CASE WHEN evaluates the branch lazily: sub-n / empty documents
+    // never build the gram machinery (whose sequences assume m >= 1)
+    when(
+      t >= n && totChars > 0,
+      element_at(
+        transform(
+          array(ngrams(u, n)),
+          g => {
+            val m = size(g)
+            val posGrams =
+              zip_with(g, sequence(lit(0), m - 1), (gr, p) => struct(gr.as("g"), p.as("p")))
+            element_at(
+              transform(
+                array(array_sort(posGrams)),
+                sorted => {
+                  val marked = transform(
+                    sequence(lit(0), m - 1),
+                    i => {
+                      val cur = element_at(sorted, i + 1)
+                      val prevEq = when(
+                        i > 0,
+                        cur.getField("g") <=> element_at(sorted, i).getField("g"))
+                        .otherwise(lit(false))
+                      val nextEq = when(
+                        i < m - 1,
+                        cur.getField("g") <=> element_at(sorted, i + 2).getField("g"))
+                        .otherwise(lit(false))
+                      struct(cur.getField("p").as("p"), (prevEq || nextEq).as("f"))
+                    })
+                  element_at(
+                    transform(
+                      array(transform(array_sort(marked), s => s.getField("f"))),
+                      flags => {
+                        val coveredChars = aggregate(
+                          sequence(lit(0), t - 1),
+                          lit(0L),
+                          (acc, j) =>
+                            acc + when(
+                              exists(
+                                sequence(greatest(lit(0), j - (n - 1)), least(j, m - 1)),
+                                i => element_at(flags, i + 1)),
+                              length(element_at(u, j + 1)).cast("long")).otherwise(lit(0L)))
+                        round(coveredChars.cast("double") / totChars, 6)
+                      }),
+                    lit(1))
+                }),
+              lit(1))
+          }),
+        lit(1)))
+      .otherwise(lit(0.0))
   }
 
   /** The FULL Gopher n-gram signal family ([[addSignals]] computes one
