@@ -76,7 +76,7 @@ object SparkEntry {
     * mutation to make the dup rules decide both ways. Mirrored by the
     * ngram oracle's ndocs CTE.
     */
-  private def injectedRepeats(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def injectedRepeats(s: SparkSession, dir: String): DataFrame = {
     val head12 = concat_ws(" ", slice(split(col("text"), " "), 1, 12))
     val r1 = when(col("doc_id") % 3 === 0, concat(col("text"), lit(" "), head12))
       .otherwise(col("text"))

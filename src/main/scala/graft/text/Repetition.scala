@@ -247,8 +247,19 @@ object Repetition {
     * repetitive the document is (a membership probe against the
     * distinct-duplicated-gram set is O(L·d), quadratic on a fully
     * repetitive document). The cover walk is O(L·n).
+    *
+    * The unit-array ARGUMENT is also self-let-bound: the cover walk
+    * reads it O(L) times (`element_at(u, j+1)` per unit), so if a
+    * caller hands an expression — or a column an optimizer pass later
+    * inlines back into this tree (CollapseProject does exactly that
+    * when the column's other consumers are pruned away) — an unbound
+    * argument would re-tokenize the document per probed unit
+    * (measured: 54 s vs 6.5 s for the 9-family pass at sf0.1).
     */
-  private def dupNgramCoverFrac(u: Column, n: Int): Column = {
+  private def dupNgramCoverFrac(u0: Column, n: Int): Column =
+    element_at(transform(array(u0), u => dupNgramCoverFracBound(u, n)), lit(1))
+
+  private def dupNgramCoverFracBound(u: Column, n: Int): Column = {
     val t = size(u)
     val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
     // CASE WHEN evaluates the branch lazily: sub-n / empty documents
