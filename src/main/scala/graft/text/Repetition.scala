@@ -259,6 +259,24 @@ object Repetition {
   private def dupNgramCoverFrac(u0: Column, n: Int): Column =
     element_at(transform(array(u0), u => dupNgramCoverFracBound(u, n)), lit(1))
 
+  /** Top-n-gram character fraction with the same argument
+    * self-binding: `ngrams` slices its unit array once per window, so
+    * an inlined-tokenizer argument would re-tokenize per window.
+    */
+  private def topNgramCharFrac(u0: Column, text: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(u0),
+        u =>
+          when(
+            size(u) >= n,
+            round(
+              topRunChars(array_sort(ngrams(u, n))).cast("double") /
+                greatest(length(text), lit(1)),
+              6))
+            .otherwise(lit(0.0))),
+      lit(1))
+
   private def dupNgramCoverFracBound(u: Column, n: Int): Column = {
     val t = size(u)
     val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
@@ -345,18 +363,9 @@ object Repetition {
     import graft.util.Cols.fresh
     val cU = fresh(df.columns.toSet, "_rep_nu")
     val u = col(cU)
-    val t = size(u)
     val withU = df.withColumn(cU, units(col(textCol), unitSep))
     val withTop = topNs.foldLeft(withU) { (d, n) =>
-      d.withColumn(
-        s"top_${n}gram_char_fraction",
-        when(
-          t >= n,
-          round(
-            topRunChars(array_sort(ngrams(u, n))).cast("double") /
-              greatest(length(col(textCol)), lit(1)),
-            6))
-          .otherwise(lit(0.0)))
+      d.withColumn(s"top_${n}gram_char_fraction", topNgramCharFrac(u, col(textCol), n))
     }
     val withCover = coverNs.foldLeft(withTop) { (d, n) =>
       d.withColumn(s"dup_${n}gram_char_fraction", dupNgramCoverFrac(u, n))
@@ -406,15 +415,8 @@ object Repetition {
       transform(
         array(units(text, unitSep)),
         u => {
-          val t = size(u)
           val topOks = topCaps.toSeq.sorted.map { case (n, cap) =>
-            when(
-              t >= n,
-              round(
-                topRunChars(array_sort(ngrams(u, n))).cast("double") /
-                  greatest(length(text), lit(1)),
-                6))
-              .otherwise(lit(0.0)) <= cap
+            topNgramCharFrac(u, text, n) <= cap
           }
           val dupOks = dupCaps.toSeq.sorted.map { case (n, cap) =>
             dupNgramCoverFrac(u, n) <= cap
