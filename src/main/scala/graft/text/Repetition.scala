@@ -118,37 +118,17 @@ object Repetition {
     import graft.util.Cols.fresh
     val names = df.columns.toSet
     val cU = fresh(names, "_rep_u")
-    val cG = fresh(names + cU, "_rep_g")
-    val cF = fresh(names + cU + cG, "_rep_f")
+    val cS = fresh(names + cU, "_rep_s")
 
     val u = col(cU)
     val t = size(u)
     val totChars = aggregate(u, lit(0L), (acc, x) => acc + length(x))
 
-    // repeated coverN-grams of THIS doc: sorted adjacency (a gram equal
-    // to its right neighbour in the sorted array occurs >= 2 times)
-    val g = col(cG)
-    val sortedG = array_sort(g)
-    val dupSet = array_distinct(
-      filter(
-        zip_with(sortedG, slice(sortedG, lit(2), greatest(size(sortedG) - 1, lit(0))),
-          (a, b) => when(a === b, a)),
-        x => x.isNotNull))
-    val flags = col(cF)
-    val m = size(g)
-    val covered = when(
-      t >= coverN,
-      size(filter(
-        sequence(lit(0), t - 1),
-        j =>
-          exists(
-            sequence(greatest(lit(0), j - (coverN - 1)), least(j, m - 1)),
-            i => element_at(flags, i + 1)))))
-      .otherwise(lit(0))
-
     df.withColumn(cU, units(col(textCol), unitSep))
-      .withColumn(cG, ngrams(u, coverN))
-      .withColumn(cF, transform(g, x => array_contains(dupSet, x)))
+      // the (dup window positions, covered units) pair as ONE
+      // self-bound struct — safe under any downstream column pruning
+      // (each reference evaluates the whole linear pass once)
+      .withColumn(cS, coverStats(u, coverN))
       .withColumn("n_units", t)
       .withColumn("n_distinct_units", size(array_distinct(u)))
       .withColumn(
@@ -159,22 +139,76 @@ object Repetition {
         "dup_unit_char_fraction",
         when(totChars > 0, round(dupRunChars(array_sort(u)).cast("double") / totChars, 6))
           .otherwise(lit(0.0)))
-      .withColumn(
-        "top_ngram_char_fraction",
-        when(
-          size(col(cU)) >= topN,
-          round(
-            topRunChars(array_sort(ngrams(u, topN))).cast("double") /
-              greatest(length(col(textCol)), lit(1)),
-            6))
-          .otherwise(lit(0.0)))
-      .withColumn("dup_ngram_positions", size(filter(flags, x => x)))
-      .withColumn("covered_units", covered)
+      .withColumn("top_ngram_char_fraction", topNgramCharFrac(u, col(textCol), topN))
+      .withColumn("dup_ngram_positions", col(cS).getField("dup_pos"))
+      .withColumn("covered_units", col(cS).getField("cov"))
       .withColumn(
         "dup_ngram_unit_fraction",
-        when(t > 0, round(covered.cast("double") / t, 6)).otherwise(lit(0.0)))
-      .drop(cU, cG, cF)
+        when(t > 0, round(col(cS).getField("cov").cast("double") / t, 6)).otherwise(lit(0.0)))
+      .drop(cU, cS)
   }
+
+  /** struct(dup_pos, cov) for the coverN-gram pass: windows whose gram
+    * repeats within the document, and the units under at least one
+    * such window — the same self-bound positional sort-and-mark as
+    * [[dupNgramCoverFrac]] (flags restored to window order, probes
+    * O(1)); sub-n documents yield (0, 0).
+    */
+  private def coverStats(u0: Column, n: Int): Column =
+    element_at(
+      transform(
+        array(u0),
+        u => {
+          val t = size(u)
+          when(
+            t >= n,
+            element_at(
+              transform(
+                array(ngrams(u, n)),
+                g => {
+                  val m = size(g)
+                  val posGrams = zip_with(
+                    g, sequence(lit(0), m - 1), (gr, p) => struct(gr.as("g"), p.as("p")))
+                  element_at(
+                    transform(
+                      array(array_sort(posGrams)),
+                      sorted => {
+                        val marked = transform(
+                          sequence(lit(0), m - 1),
+                          i => {
+                            val cur = element_at(sorted, i + 1)
+                            val prevEq = when(
+                              i > 0,
+                              cur.getField("g") <=> element_at(sorted, i).getField("g"))
+                              .otherwise(lit(false))
+                            val nextEq = when(
+                              i < m - 1,
+                              cur.getField("g") <=> element_at(sorted, i + 2).getField("g"))
+                              .otherwise(lit(false))
+                            struct(cur.getField("p").as("p"), (prevEq || nextEq).as("f"))
+                          })
+                        element_at(
+                          transform(
+                            array(transform(array_sort(marked), s => s.getField("f"))),
+                            flags =>
+                              struct(
+                                size(filter(flags, x => x)).as("dup_pos"),
+                                size(filter(
+                                  sequence(lit(0), t - 1),
+                                  j =>
+                                    exists(
+                                      sequence(
+                                        greatest(lit(0), j - (n - 1)),
+                                        least(j, m - 1)),
+                                      i => element_at(flags, i + 1)))).as("cov"))),
+                          lit(1))
+                      }),
+                    lit(1))
+                }),
+              lit(1)))
+            .otherwise(struct(lit(0).as("dup_pos"), lit(0).as("cov")))
+        }),
+      lit(1))
 
   /** Gopher-style document quality rules over the repetition signals
     * plus word-shape statistics (Rae et al. 2021 Table A1, adapted to
