@@ -48,12 +48,16 @@ object EntityAggregates {
         min(col("turn_idx")).as("first_turn"),
         max(col("turn_idx")).as("last_turn")
       )
+    // dominant predicate = argmax over (cnt desc, pred asc), computed as
+    // a map-side-partial min_by over the lexicographic (-cnt, pred) key
+    // instead of a row_number window + filter: same winner per entity
+    // ((-cnt, pred) is unique within an entity — pred is the grouping
+    // key), but no Sort/Window stage and no skew risk from a hot entity
+    // funneling its predicate rows into one window task
     val predCounts = roles.groupBy(col("entity_id"), col("pred")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("entity_id")).orderBy(col("cnt").desc, col("pred").asc)
     val topPred = predCounts
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("entity_id"), col("pred").as("top_pred"))
+      .groupBy(col("entity_id"))
+      .agg(min_by(col("pred"), struct((-col("cnt")).as("nc"), col("pred").as("p"))).as("top_pred"))
     base.join(topPred, Seq("entity_id"))
   }
 

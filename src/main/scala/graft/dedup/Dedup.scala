@@ -57,12 +57,13 @@ object Dedup {
     exact(df.withColumn("_norm", TextOps.normalized(col(textCol))), idCol, "_norm")
       .drop("_norm")
 
-  /** Word n-gram shingles of a text (the unit for Jaccard/MinHash). */
-  def wordShingles(text: String, n: Int): Array[Long] = {
-    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
-    if (toks.length < n) Array(Hashing.hashString(toks.mkString(" ")))
-    else (0 to toks.length - n).map(i => Hashing.hashString(toks.slice(i, i + n).mkString(" "))).distinct.toArray
-  }
+  /** Word n-gram shingles of a text (the unit for Jaccard/MinHash).
+    * Delegates to the single kernel shared with the codegen expression
+    * [[graft.functions.TextExpressions.word_shingles]] — one
+    * definition, two call forms.
+    */
+  def wordShingles(text: String, n: Int): Array[Long] =
+    graft.functions.TextExpressions.wordShinglesArr(text, n)
 
   /** MinHash-LSH near-duplicate pairs: texts whose word-shingle Jaccard
     * >= threshold. Blocking + exact re-scoring (no false positives;
@@ -105,9 +106,10 @@ object Dedup {
     // (id, shingles) that both branches scan, which is what
     // persistIntermediate-style staging would do. Shingling itself is a
     // narrow codegen-adjacent map, so recompute stays the default here.
-    val shingled = base
-      .map { case (id, t) => (id, wordShingles(t, cfg.shingleK)) }
-      .toDF("id", "sh")
+    val shingled = df.select(
+      col(idCol).cast("long").as("id"),
+      graft.functions.TextExpressions
+        .word_shingles(col(textCol).cast("string"), cfg.shingleK).as("sh"))
 
     val banded = base
       .mapPartitions { it =>
@@ -173,15 +175,25 @@ object Dedup {
       maxFreqMapSize: Int = 1000000
   ): DataFrame = {
     import spark.implicits._
-    val base = df.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)]
-    val shingledRaw = base
-      .map { case (id, t) => (id, wordShingles(t, shingleN)) }
-      .toDF("id", "sh")
 
-    val freq: Map[Long, Long] =
-      if (!frequencyOrdered) Map.empty
-      else
-        shingledRaw
+    // Default (hash-ordered) path: shingling + ordering + prefix
+    // explode are all native codegen expressions — no encoder
+    // round-trips, the whole pre-join side is one WholeStageCodegen
+    // span over the scan. sortBy((freq=1, s)) of the typed form
+    // degenerates to a plain ascending sort when no frequency map is
+    // loaded, i.e. array_sort.
+    val shingled =
+      if (!frequencyOrdered)
+        df.select(
+          col(idCol).cast("long").as("id"),
+          array_sort(graft.functions.TextExpressions
+            .word_shingles(col(textCol).cast("string"), shingleN)).as("sh"))
+      else {
+        val base = df.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)]
+        val shingledRaw = base
+          .map { case (id, t) => (id, wordShingles(t, shingleN)) }
+          .toDF("id", "sh")
+        val freq: Map[Long, Long] = shingledRaw
           .select(explode($"sh").as("s"))
           .groupBy($"s")
           .agg(count(lit(1)).as("df"))
@@ -191,25 +203,26 @@ object Dedup {
           .as[(Long, Long)]
           .collect()
           .toMap
-    val bcFreq = spark.sparkContext.broadcast(freq)
-
-    val shingled = shingledRaw
-      .as[(Long, Array[Long])]
-      .map { case (id, sh) =>
-        val f = bcFreq.value
-        (id, sh.sortBy(s => (f.getOrElse(s, 1L), s)))
+        val bcFreq = spark.sparkContext.broadcast(freq)
+        shingledRaw
+          .as[(Long, Array[Long])]
+          .map { case (id, sh) =>
+            val f = bcFreq.value
+            (id, sh.sortBy(s => (f.getOrElse(s, 1L), s)))
+          }
+          .toDF("id", "sh")
       }
-      .toDF("id", "sh")
 
+    // prefix length p = |S| - ceil(t*|S|) + 1 (the -1e-9 guards float
+    // noise on exact integers; a LONGER prefix is always still
+    // recall-complete), min 1 — same formula as the typed form, as a
+    // scan-side posexplode over the slice
+    val pLen = greatest(
+      (size($"sh") - ceil(lit(threshold) * size($"sh") - lit(1e-9)).cast("int") + lit(1)),
+      lit(1))
     val prefixes = shingled
-      .as[(Long, Array[Long])]
-      .flatMap { case (id, sh) =>
-        // conservative ceil (the -1e-9 guards float noise on exact
-        // integers; a LONGER prefix is always still recall-complete)
-        val p = sh.length - math.ceil(threshold * sh.length - 1e-9).toInt + 1
-        sh.iterator.take(math.max(p, 1)).zipWithIndex.map { case (tok, pos) => (tok, id, sh.length, pos) }
-      }
-      .toDF("tok", "id", "len", "pos")
+      .select($"id", size($"sh").as("len"), posexplode(slice($"sh", lit(1), pLen)))
+      .select(col("col").as("tok"), $"id", $"len", col("pos"))
 
     // Two recall-free pruning filters on the narrow candidate rows
     // before the wide shingle fetch:

@@ -200,22 +200,36 @@ object Curation {
       // which a pre-curate filter on the raw input cannot
       extraRule: Option[Column] = None
   ): Staged = {
+    // Plan-boundary rule (this file): every NARROW decision table —
+    // the near-dup pair table, the common-line fingerprint table, the
+    // span report, the contamination report — is cut with a LAZY
+    // localCheckpoint. Without the cut, the DataFrame API re-inlines
+    // the producing subtree into every consuming branch (the measured
+    // q_curate_neardup plan was 1378 nodes / 304 Exchanges; runtime
+    // exchange-reuse dedups the execution, but the driver still
+    // plans, optimizes and codegens the whole tree). With it, each
+    // decision table is planned once and its consumers see a leaf.
+    // The WIDE corpus stages stay lazy/recomputed per the documented
+    // caching policy — at 100-TB scale these same narrow tables are
+    // the ones a real run stages (RunCuration's persisted prefixes),
+    // while pinning the corpus itself would not fit.
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = false)
     val deduped = Dedup.normalizedExact(docs, idCol, textCol)
-    val nearDupPairs = nearDup match {
+    val nearDupPairs = (nearDup match {
       case NearDupStage.Off => None
       case NearDupStage.ExactJaccard(t, n) =>
         Some(Dedup.jaccardPairsExact(spark, deduped, idCol, textCol, n, t))
       case NearDupStage.MinHashLsh(t, n, bands, rows) =>
         Some(Dedup.minhashNearDupPairs(spark, deduped, idCol, textCol, n, t, bands, rows))
-    }
+    }).map(cut)
     val afterNearDup = nearDupPairs.fold(deduped)(
       Dedup.nearDupSurvivorsFromPairs(deduped, _, idCol))
     // cross-document line dedup cuts >= minDf-common lines BEFORE the
     // span stage, so passage detection and every downstream signal
     // judge the de-boilerplated text; the consumed fingerprint table is
     // exposed for the audit
-    val commonLineTable = lineDedupMinDf.map(
-      LineDedup.commonLines(afterNearDup, idCol, textCol, _))
+    val commonLineTable = lineDedupMinDf.map(minDf =>
+      cut(LineDedup.commonLines(afterNearDup, idCol, textCol, minDf)))
     val afterLineDedup = commonLineTable.fold(afterNearDup)(
       LineDedup.removeLines(afterNearDup, _, idCol, textCol))
     // the boilerplate stage is on when a drop cap is set OR the action
@@ -224,8 +238,8 @@ object Curation {
     val spanStageOn = maxDupFraction.isDefined || spanAction == SpanAction.CutSpans
     val spanReport =
       if (spanStageOn)
-        Some(SpanDedup
-          .duplicateSpans(spark, afterLineDedup, idCol, textCol, spanShingleN, spanMinDf))
+        Some(cut(SpanDedup
+          .duplicateSpans(spark, afterLineDedup, idCol, textCol, spanShingleN, spanMinDf)))
       else None
     val spanProfile = spanReport.map(
       SpanDedup.spanStatsFromReport(afterLineDedup, _, idCol, textCol))
@@ -243,8 +257,8 @@ object Curation {
     }
     // decontaminate = report + anti-join (same as Decontam.decontaminate,
     // opened up so the report the pipeline used IS the audit artifact)
-    val report = Decontam
-      .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
+    val report = cut(Decontam
+      .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN))
     val cleaned = afterSpans.join(report.select(col(idCol)), Seq(idCol), "left_anti")
     val qualified0 = qualityFloor.foldLeft(
       cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)

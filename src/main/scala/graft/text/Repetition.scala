@@ -395,6 +395,36 @@ object Repetition {
       unitSep: String = "\\s+"
   ): DataFrame = {
     import graft.util.Cols.fresh
+    // one compiled kernel call per row computes the whole family (the
+    // HOF formulation — kept below as addNgramSignalsHof, spec-pinned
+    // equal — evaluates interpreted lambdas per array element); the
+    // element_at references collapse into one Project where codegen
+    // subexpression elimination evaluates the kernel once
+    val cS = fresh(df.columns.toSet, "_rep_sig")
+    val sig = graft.functions.TextExpressions
+      .ngram_signals(coalesce(col(textCol), lit("")), unitSep, topNs, coverNs)
+    val withS = df.withColumn(cS, sig)
+    val withTop = topNs.zipWithIndex.foldLeft(withS) { case (d, (n, i)) =>
+      d.withColumn(s"top_${n}gram_char_fraction", element_at(col(cS), i + 1))
+    }
+    val withCover = coverNs.zipWithIndex.foldLeft(withTop) { case (d, (n, i)) =>
+      d.withColumn(s"dup_${n}gram_char_fraction", element_at(col(cS), topNs.length + i + 1))
+    }
+    withCover.drop(cS)
+  }
+
+  /** The original higher-order-function formulation of
+    * [[addNgramSignals]] — retained as the equivalence reference for
+    * the kernel (RepetitionSpec pins the two equal value-for-value).
+    */
+  private[graft] def addNgramSignalsHof(
+      df: DataFrame,
+      textCol: String,
+      topNs: Seq[Int] = TopNgramCaps.keys.toSeq.sorted,
+      coverNs: Seq[Int] = DupNgramCaps.keys.toSeq.sorted,
+      unitSep: String = "\\s+"
+  ): DataFrame = {
+    import graft.util.Cols.fresh
     val cU = fresh(df.columns.toSet, "_rep_nu")
     val u = col(cU)
     val withU = df.withColumn(cU, units(col(textCol), unitSep))
@@ -440,6 +470,19 @@ object Repetition {
     * to the `ngram_passes` flag by spec.
     */
   def gopherNgramPasses(
+      text: Column,
+      topCaps: Map[Int, Double] = TopNgramCaps,
+      dupCaps: Map[Int, Double] = DupNgramCaps,
+      unitSep: String = "\\s+"
+  ): Column =
+    graft.functions.TextExpressions.ngram_passes(
+      coalesce(text, lit("")), unitSep, topCaps.toSeq.sorted, dupCaps.toSeq.sorted)
+
+  /** The original higher-order-function formulation of
+    * [[gopherNgramPasses]] — retained as the equivalence reference for
+    * the kernel (RepetitionSpec pins the two equal row-for-row).
+    */
+  private[graft] def gopherNgramPassesHof(
       text: Column,
       topCaps: Map[Int, Double] = TopNgramCaps,
       dupCaps: Map[Int, Double] = DupNgramCaps,

@@ -224,6 +224,47 @@ class RepetitionSpec extends SparkSpec {
     assert(vacuous == 0)
   }
 
+  test("ngram kernel: equals the HOF formulation value-for-value on an adversarial corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260822L)
+    val words = Vector("alpha", "beta", "gamma", "delta", "ee", "zeta", "x", "longerwordhere")
+    val planted = (0L until 150L).map { i =>
+      val base = (0 until 5 + rnd.nextInt(40)).map(_ => words(rnd.nextInt(words.length)))
+      val t = rnd.nextInt(4) match {
+        case 0 => (base ++ base.take(8 + rnd.nextInt(8))).mkString(" ") // repeated phrase
+        case 1 => (base ++ base).mkString(" ") // doubled doc
+        case 2 => base.mkString("  ") // double spaces
+        case _ => base.mkString(" ")
+      }
+      (i, t)
+    }
+    val edge = Seq(
+      (900L, null.asInstanceOf[String]), (901L, ""), (902L, "word"),
+      (903L, " leading and trailing  "), (904L, "a a a a a a a a a a a a"),
+      (905L, "tabs\tand\nnewlines mixed\there ok"),
+      (906L, "ünïcödé wörds ünïcödé wörds ünïcödé wörds"),
+      (907L, ("lorem ipsum dolor sit amet " * 6).trim))
+    val df = (planted ++ edge).toDF("doc_id", "text")
+    val cols = Seq("top_2gram_char_fraction", "top_3gram_char_fraction",
+      "top_4gram_char_fraction") ++ (5 to 10).map(n => s"dup_${n}gram_char_fraction")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id") +: cols.map(col): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to cols.length).map(r.getDouble).toVector)
+      .toMap
+    val kernel = rows(Repetition.addNgramSignals(df, "text"))
+    val hof = rows(Repetition.addNgramSignalsHof(df, "text"))
+    assert(kernel.keySet == hof.keySet)
+    for (k <- kernel.keySet)
+      assert(kernel(k) == hof(k), s"doc $k: kernel=${kernel(k)} hof=${hof(k)}")
+    // the fused predicate agrees with the HOF predicate row-for-row
+    val pKernel = df.select(col("doc_id"), Repetition.gopherNgramPasses(col("text")).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    val pHof = df.select(col("doc_id"), Repetition.gopherNgramPassesHof(col("text")).as("p"))
+      .as[(Long, Boolean)].collect().toMap
+    assert(pKernel == pHof)
+  }
+
   test("gopherParagraphPasses: equals the addSignals paragraph-mode signals at the caps") {
     import spark.implicits._
     val rnd = new scala.util.Random(20260819L)
