@@ -1371,6 +1371,9 @@ object SparkEntry {
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(out), true) // fresh table each run
+      // lazy localCheckpoint: `edges` feeds BOTH the initial write and
+      // the updates subset — without the cut the lead-edges window
+      // recomputes for each consumer
       val edges = Sequences
         .leadEdges(read(s, dir, "events"), "user_id", Seq("ts", "event_id"), "event_id")
         .select(
@@ -1379,6 +1382,7 @@ object SparkEntry {
           col("dst"),
           lit("orig").as("pred")
         )
+        .localCheckpoint(eager = false)
       graft.graph.Materialize.writeEdges(s, edges, out, numBuckets = 8)
       val updates = edges
         .where(col("src") % 7 === 0)

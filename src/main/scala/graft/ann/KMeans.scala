@@ -78,8 +78,15 @@ object KMeans {
     import spark.implicits._
     var cents = initCentroids(spark, df, idCol, vecCol, k)
     if (cents.isEmpty) return Model(Array.empty)
-    // null embeddings carry no signal and would NPE the assignment
+    // null embeddings carry no signal and would NPE the assignment.
+    // The iteration input is persisted for the duration of the fit
+    // (the standard iterative-ML pattern — MLlib's KMeans does the
+    // same): without it every iteration re-scans the source and
+    // re-decodes the vectors through the encoder, `iters` + 1 times.
+    // MEMORY_AND_DISK so a corpus bigger than storage spills instead
+    // of failing; unpersisted before returning.
     val corp = df.select(col(vecCol)).where(col(vecCol).isNotNull).as[Array[Float]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val d = cents.head.length
     var it = 0
     while (it < iters) {
@@ -124,6 +131,7 @@ object KMeans {
       bc.destroy()
       it += 1
     }
+    corp.unpersist()
     Model(cents)
   }
 

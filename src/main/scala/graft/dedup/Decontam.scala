@@ -40,17 +40,19 @@ object Decontam {
       shingleN: Int = 3
   ): DataFrame = {
     import spark.implicits._
+    // shingling runs as the word_shingles codegen expression + explode
+    // (the typed-flatMap form paid an encoder round-trip per row and
+    // broke the scan's whole-stage-codegen span); same grams, same plan
+    // shape downstream
     val evalGrams = eval
-      .select(col(evalTextCol).cast("string"))
-      .as[String]
-      .flatMap(t => Dedup.wordShingles(t, shingleN))
+      .select(explode(graft.functions.TextExpressions
+        .word_shingles(col(evalTextCol).cast("string"), shingleN)).as("gram"))
       .distinct()
-      .toDF("gram")
     val corpusGrams = corpus
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) => Dedup.wordShingles(t, shingleN).map(g => (id, g)) }
-      .toDF("id", "gram")
+      .select(
+        col(idCol).cast("long").as("id"),
+        explode(graft.functions.TextExpressions
+          .word_shingles(col(textCol).cast("string"), shingleN)).as("gram"))
     // wordShingles already dedups within a document, so count(*) after
     // the semi-restricting inner join IS the distinct shared-gram count
     corpusGrams
@@ -96,15 +98,15 @@ object Decontam {
   ): DataFrame = {
     import spark.implicits._
     val evalGrams = eval
-      .select(col(evalIdCol).cast("long"), col(evalTextCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) => Dedup.wordShingles(t, shingleN).map(g => (id, g)) }
-      .toDF("eval_id", "gram")
+      .select(
+        col(evalIdCol).cast("long").as("eval_id"),
+        explode(graft.functions.TextExpressions
+          .word_shingles(col(evalTextCol).cast("string"), shingleN)).as("gram"))
     val corpusGrams = corpus
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) => Dedup.wordShingles(t, shingleN).map(g => (id, g)) }
-      .toDF("corpus_id", "gram")
+      .select(
+        col(idCol).cast("long").as("corpus_id"),
+        explode(graft.functions.TextExpressions
+          .word_shingles(col(textCol).cast("string"), shingleN)).as("gram"))
     // wordShingles dedups within each document, so count(*) per
     // (corpus_id, eval_id) IS the distinct shared-gram count
     corpusGrams
@@ -131,9 +133,8 @@ object Decontam {
   ): org.apache.spark.broadcast.Broadcast[Array[Long]] = {
     import spark.implicits._
     val distinctGrams = eval
-      .select(col(evalTextCol).cast("string"))
-      .as[String]
-      .flatMap(t => Dedup.wordShingles(t, shingleN))
+      .select(explode(graft.functions.TextExpressions
+        .word_shingles(col(evalTextCol).cast("string"), shingleN)).as("g"))
       .distinct()
       .as[Long]
     // the limit IS the guard: the driver materializes at most

@@ -56,20 +56,15 @@ object SpanDedup {
       textCol: String,
       shingleN: Int
   ): DataFrame = {
-    import spark.implicits._
-    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .flatMap { case (id, t) =>
-        if (t == null) Iterator.empty
-        else {
-          val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
-          if (toks.length < shingleN) Iterator.empty
-          else (0 to toks.length - shingleN).iterator.map { i =>
-            (id, i.toLong, Hashing.hashString(toks.slice(i, i + shingleN).mkString(" ")))
-          }
-        }
-      }
-      .toDF(idCol, "pos", "gram")
+    // the word_gram_hashes codegen expression + posexplode replaces the
+    // typed flatMap (encoder round-trip per row, codegen barrier); a
+    // null text yields a null array, which posexplode drops — the same
+    // zero rows the old Iterator.empty produced
+    df.select(
+        col(idCol).cast("long").as(idCol),
+        posexplode(graft.functions.TextExpressions
+          .word_gram_hashes(col(textCol).cast("string"), shingleN)))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("col").as("gram"))
   }
 
   /** Duplicated-span report: one row per maximal duplicated span,
@@ -296,7 +291,11 @@ object SpanDedup {
     val stats = udf { (t: String) =>
       if (t == null) (0, 0L, 0L, 0.0)
       else {
-        val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        // Locale.ROOT: under a tr/az default locale String.toLowerCase
+        // would tokenize 'I' differently from SQL lower() and the
+        // DuckDB oracle (the LineDedup streaming-scrub fix, applied
+        // here too)
+        val toks = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         val total = sparkTokenCount(t)
         if (toks.length < shingleN) (0, 0L, total, 0.0)
         else {
@@ -359,7 +358,7 @@ object SpanDedup {
     val cut = udf { (t: String) =>
       if (t == null) null
       else {
-        val low = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val low = t.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
         if (low.length < shingleN) t
         else {
           val covered = new Array[Boolean](low.length)

@@ -66,6 +66,49 @@ object TextExpressions {
   def word_shingles(text: Column, n: Int): Column =
     ExprBridge.column(WordShingles(ExprBridge.expression(text), n))
 
+  /** POSITIONAL word-n-gram hashes (non-distinct; empty below n tokens)
+    * — the [[graft.dedup.SpanDedup]] unit. Locale.ROOT lowercase (the
+    * tr/az-locale hazard fix — matches SQL lower() and LineDedup's
+    * streaming scrub).
+    */
+  def wordGramHashesArr(text: String, n: Int): Array[Long] = {
+    val toks = text.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) Array.emptyLongArray
+    else Array.tabulate(toks.length - n + 1)(i =>
+      Hashing.hashString(toks.slice(i, i + n).mkString(" ")))
+  }
+
+  /** Codegen entry point: UTF8String in, ArrayData out. */
+  def wordGramHashesData(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(wordGramHashesArr(text.toString, n))
+
+  /** word_gram_hashes(text, n): array<bigint> of positional word-n-gram
+    * hashes (index = 0-based first-token position), evaluated inside
+    * whole-stage codegen.
+    */
+  case class WordGramHashes(child: Expression, n: Int) extends UnaryExpression {
+    require(n > 0, s"word_gram_hashes n must be positive, got $n")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"word_gram_hashes input must be string, got $other")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any =
+      wordGramHashesData(a.asInstanceOf[UTF8String], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextExpressions.wordGramHashesData($a, $n);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def word_gram_hashes(text: Column, n: Int): Column =
+    ExprBridge.column(WordGramHashes(ExprBridge.expression(text), n))
+
   // ---------------------------------------------------------------
   // Gopher n-gram signal kernel
   // ---------------------------------------------------------------

@@ -379,14 +379,21 @@ object Materialize {
     healBucketSwaps(spark, outDir)
 
     val upd = withBucket(updates, buckets)
-    val dupKeys = upd
+    // one pre-flight action instead of two: the duplicate-key witness
+    // (as sentinel -1, impossible for a pmod bucket) unions with the
+    // affected-bucket set, so the dup check and the bucket probe share
+    // a job and schedule concurrently
+    val preflight = upd
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("_c"))
       .where(col("_c") > 1)
       .limit(1)
-      .count()
-    require(dupKeys == 0, "updates must be unique on keyCols (MERGE multiple-match)")
-    val affected = upd.select(col(BucketCol)).distinct().as[Int].collect().sorted
+      .select(lit(-1).as(BucketCol))
+      .unionAll(upd.select(col(BucketCol)).distinct())
+      .as[Int]
+      .collect()
+    require(!preflight.contains(-1), "updates must be unique on keyCols (MERGE multiple-match)")
+    val affected = preflight.filter(_ >= 0).distinct.sorted
     if (affected.isEmpty) return 0L
 
     val existing = spark.read.parquet(edgesPath)

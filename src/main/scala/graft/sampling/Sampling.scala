@@ -94,6 +94,12 @@ object Sampling {
       factors: Map[String, Double],
       defaultFactor: Double = 1.0
   ): DataFrame = {
+    // NOTE the per-row cost at the top of this range: each row
+    // materializes a copies-sized array via sequence()+explode, so a
+    // factor near the 1e6 cap is a ~1M-element array PER DOCUMENT per
+    // task — an OOM hazard the range check alone does not guard.
+    // Real epoch factors are single digits; treat anything beyond ~1e3
+    // as a mis-specified mix, not a supported operating point.
     require((factors.values ++ Seq(defaultFactor)).forall(f => f >= 0.0 && f <= 1e6),
       "upsample factors must be in [0, 1e6]")
     val names = df.columns.toSet
@@ -370,9 +376,11 @@ object Sampling {
 
     withU
       .withColumn(cR, row_number().over(wIn).cast("long"))
-      // null-safe: a null id yields a null coin/bucket — such rows must
-      // still come back with a position (nulls-first bucket), not
-      // vanish through the offset join; positions are only fully
+      // null-safe join (<=>): a null id yields a null coin, and
+      // least(null, buckets-1) SKIPS the null — the row lands in the
+      // LAST bucket (buckets-1), not a null bucket; the <=> is kept so
+      // a future change to the bucket expression cannot silently drop
+      // such rows through the offset join. Positions are only fully
       // deterministic under the unique-non-null-id contract
       .join(broadcast(offsets), col(cB) <=> col(cB2))
       .withColumn("shuffle_pos", col(cOff) + col(cR) - 1L)

@@ -18,12 +18,10 @@ import org.apache.spark.sql.functions._
   * shuffle, no state). Per-document cost is bounded by document
   * length: the duplicated-unit and top-n-gram passes run over a SORTED
   * copy of the array (one `array_sort` + one linear `aggregate` — the
-  * run-length trick, O(L log L)); the n-gram cover pass is
-  * O(L·d) with d = the number of distinct duplicated grams in the
-  * document (d is tiny for natural text; a pathological
-  * fully-repetitive multi-MB document bounds a task by its own length
-  * squared — pre-truncate such docs or use SpanDedup's distributed
-  * report if that population matters).
+  * run-length trick, O(L log L)); the n-gram cover pass uses the
+  * positional sort-and-mark (sort (gram, pos), mark sorted neighbors,
+  * restore window order) — O(L log L) as well, independent of how
+  * repetitive the document is, plus an O(L·n) cover walk.
   *
   * The `unitSep` parameter picks the repetition granularity:
   * `"\n"` profiles duplicate LINES (the Gopher dup-line rules),
@@ -376,16 +374,12 @@ object Repetition {
     * document (union of covers, each character counted once), over all
     * unit characters.
     *
-    * Same scale shape as [[addSignals]]: pure scan-side Column
-    * expressions, no UDF, no shuffle. Per-doc cost per n is
-    * O(L log L) for the sort plus O(L·d) for the dup-flag membership
-    * pass, where d = the number of DISTINCT duplicated n-grams in the
-    * document — d is tiny for natural text, and a pathological
-    * fully-repetitive document is bounded by its own length squared
-    * (the same caveat [[addSignals]] documents: pre-truncate such docs
-    * or use [[graft.dedup.SpanDedup]]'s distributed report if that
-    * population matters). Fractions are `round(·, 6)`; empty / null /
-    * sub-n documents profile as zeros.
+    * Same scale shape as [[addSignals]]: pure scan-side evaluation,
+    * no UDF, no shuffle. Per-doc cost per n is O(L·n) hashing plus the
+    * duplicate check — repetitiveness-independent (the compiled kernel
+    * counts grams in a hash map; the HOF reference form uses the
+    * equivalent positional sort-and-mark, O(L log L)). Fractions are
+    * `round(·, 6)`; empty / null / sub-n documents profile as zeros.
     */
   def addNgramSignals(
       df: DataFrame,

@@ -26,9 +26,18 @@ object ConfigPin {
         s"output at $path was written with a different config — resuming would mix stale " +
           s"buckets with new results; $freshHint.\n  have: $existing\n  want: $fingerprint")
     } else {
-      val os = fs.create(p, true)
+      // write-then-rename: a crash mid-write must not leave an
+      // empty/truncated pin, which every later resume would read as
+      // "written with a different config" — a misleading diagnosis for
+      // an identical config
+      val tmp = new org.apache.hadoop.fs.Path(path + "._tmp")
+      val os = fs.create(tmp, true)
       os.write(fingerprint.getBytes("UTF-8"))
       os.close()
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        require(false, s"could not move config pin into place at $path")
+      }
     }
   }
 }
