@@ -371,6 +371,129 @@ object TextExpressions {
     true
   }
 
+  /** Max over distinct n-grams of (count × gram code-point length) —
+    * the [[graft.text.Repetition]] `topRunChars(array_sort(ngrams))`
+    * statistic (any total order groups equal grams; run=1 contributes
+    * its length like a count-1 gram).
+    */
+  private def topNgramCharsKernel(units: Array[String], n: Int): Long = {
+    val t = units.length
+    val counts = new java.util.HashMap[String, Int](t * 2)
+    if (n == 1) {
+      var i = 0
+      while (i < t) { counts.merge(units(i), 1, (a, b) => a + b); i += 1 }
+    } else {
+      val m = t - n + 1
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < m) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(units(i + k))
+          k += 1
+        }
+        counts.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+    }
+    var best = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val v = e.getValue.toLong * cpLen(e.getKey)
+      if (v > best) best = v
+    }
+    best
+  }
+
+  /** The Gopher word-family rule conjunction over one document —
+    * identical decisions to `Repetition.gopherPassesHof` (spec-pinned):
+    * word-count bounds, mean-word-length bounds, alpha-word floor,
+    * duplicated-unit cap, top-n-gram character cap. Caps layout:
+    * [minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+    * minAlphaWordFraction, maxDupUnitFraction, maxTopNgramCharFraction].
+    */
+  def gopherWordPassesKernel(
+      textU: UTF8String,
+      sep: java.util.regex.Pattern,
+      topN: Int,
+      caps: Array[Double]
+  ): Boolean = {
+    val units = unitsKernel(textU.toString, sep)
+    val rawLen = textU.numChars()
+    val t = units.length
+    var totChars = 0L
+    var alphaWords = 0
+    val distinct = new java.util.HashSet[String](t * 2)
+    var j = 0
+    while (j < t) {
+      val u = units(j)
+      totChars += cpLen(u)
+      var hasAlpha = false
+      var k = 0
+      while (k < u.length && !hasAlpha) {
+        val c = u.charAt(k)
+        hasAlpha = c >= 'a' && c <= 'z' // rlike("[a-z]") on lowercased units
+        k += 1
+      }
+      if (hasAlpha) alphaWords += 1
+      distinct.add(u)
+      j += 1
+    }
+    val meanLen = if (t > 0) round6(totChars.toDouble / t) else 0.0
+    val alphaFrac = if (t > 0) round6(alphaWords.toDouble / t) else 0.0
+    val dupFrac = if (t > 0) round6((t - distinct.size).toDouble / t) else 0.0
+    val topFrac =
+      if (t >= topN) round6(topNgramCharsKernel(units, topN).toDouble / math.max(rawLen, 1))
+      else 0.0
+    t >= caps(0) && t <= caps(1) &&
+      meanLen >= caps(2) && meanLen <= caps(3) &&
+      alphaFrac >= caps(4) &&
+      dupFrac <= caps(5) &&
+      topFrac <= caps(6)
+  }
+
+  /** Boolean word-family gate: `Repetition.gopherPasses` as one kernel
+    * call (one evaluation per row, whole-stage codegen).
+    */
+  case class GopherWordPasses(
+      child: Expression,
+      unitSep: String,
+      topN: Int,
+      caps: Seq[Double] // layout documented on gopherWordPassesKernel
+  ) extends UnaryExpression {
+    require(caps.length == 7, s"gopher_word_passes needs 7 caps, got ${caps.length}")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"gopher_word_passes input must be string, got $other")
+    }
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val pat = java.util.regex.Pattern.compile(unitSep)
+    @transient private lazy val capsArr = caps.toArray
+
+    override def nullSafeEval(a: Any): Any =
+      gopherWordPassesKernel(a.asInstanceOf[UTF8String], pat, topN, capsArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val patRef = ctx.addReferenceObj("gphSep", pat, classOf[java.util.regex.Pattern].getName)
+      val capRef = ctx.addReferenceObj("gphCaps", capsArr, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.TextExpressions.gopherWordPassesKernel(
+           |  $a, $patRef, $topN, $capRef);
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def gopher_word_passes(text: Column, unitSep: String, topN: Int, caps: Seq[Double]): Column =
+    ExprBridge.column(GopherWordPasses(ExprBridge.expression(text), unitSep, topN, caps))
+
   def ngram_signals(text: Column, unitSep: String, topNs: Seq[Int], coverNs: Seq[Int]): Column =
     ExprBridge.column(NgramSignals(ExprBridge.expression(text), unitSep, topNs, coverNs))
 

@@ -647,6 +647,27 @@ object Repetition {
       maxTopNgramCharFraction: Double = 0.2,
       unitSep: String = "\\s+"
   ): Column =
+    graft.functions.TextExpressions.gopher_word_passes(
+      coalesce(text, lit("")), unitSep, topN,
+      Seq(minWords.toDouble, maxWords.toDouble, minMeanWordLen, maxMeanWordLen,
+        minAlphaWordFraction, maxDupUnitFraction, maxTopNgramCharFraction))
+
+  /** The original higher-order-function formulation of [[gopherPasses]]
+    * — retained as the equivalence reference for the kernel
+    * (RepetitionSpec pins the two equal row-for-row).
+    */
+  private[graft] def gopherPassesHof(
+      text: Column,
+      topN: Int = 2,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0,
+      minAlphaWordFraction: Double = 0.8,
+      maxDupUnitFraction: Double = 0.5,
+      maxTopNgramCharFraction: Double = 0.2,
+      unitSep: String = "\\s+"
+  ): Column =
     element_at(
       transform(
         array(units(text, unitSep)),

@@ -263,6 +263,17 @@ class RepetitionSpec extends SparkSpec {
     val pHof = df.select(col("doc_id"), Repetition.gopherNgramPassesHof(col("text")).as("p"))
       .as[(Long, Boolean)].collect().toMap
     assert(pKernel == pHof)
+    // the word-family gate kernel agrees with ITS HOF reference too —
+    // at thresholds loose enough that decisions split both ways
+    for ((minW, maxDup) <- Seq((50, 0.5), (5, 0.2), (0, 0.0))) {
+      val wKernel = df.select(col("doc_id"),
+        Repetition.gopherPasses(col("text"), minWords = minW, maxDupUnitFraction = maxDup).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      val wHof = df.select(col("doc_id"),
+        Repetition.gopherPassesHof(col("text"), minWords = minW, maxDupUnitFraction = maxDup).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(wKernel == wHof, s"minWords=$minW maxDup=$maxDup")
+    }
   }
 
   test("gopherParagraphPasses: equals the addSignals paragraph-mode signals at the caps") {
