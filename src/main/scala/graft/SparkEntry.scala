@@ -800,22 +800,34 @@ object SparkEntry {
       import s.implicits._
       import org.apache.spark.storage.StorageLevel
       val corpus = docsWithClipsLang(s, dir).where(col("doc_id") % 20 =!= 0)
-      // four count actions consume these plans; pin the shared
-      // prefixes so the dedup + pair joins each run ONCE (unpersisted
-      // before returning — the result below is literal rows)
+      // ONE action computes all four counts (total, exact survivors,
+      // LSH survivors, exact-not-LSH violations) as flag counts over
+      // the deduped ids left-joined with both survivor id sets — the
+      // previous form ran four sequential count() jobs. The dedup
+      // subtree still feeds both pair joins, so it stays pinned for
+      // the action's duration (unpersisted before returning — the
+      // result below is literal rows); the survivor sets are each
+      // consumed once now and need no pin of their own.
       val deduped = Dedup.normalizedExact(corpus, "doc_id", "text")
         .persist(StorageLevel.MEMORY_AND_DISK)
       val exactSurv = Dedup.nearDupSurvivorsFromPairs(
         deduped, Dedup.jaccardPairsExact(s, deduped, "doc_id", "text", 3, 0.6), "doc_id")
-        .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), lit(1).as("_e"))
       val lshSurv = Dedup.nearDupSurvivorsFromPairs(
         deduped, Dedup.minhashNearDupPairs(s, deduped, "doc_id", "text", 3, 0.6, 16, 4), "doc_id")
-        .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("doc_id"), lit(1).as("_l"))
       try {
-        val nTotal = deduped.count()
-        val nExact = exactSurv.count()
-        val nLsh = lshSurv.count()
-        val nViol = exactSurv.join(lshSurv, Seq("doc_id"), "left_anti").count()
+        val r = deduped.select(col("doc_id"))
+          .join(exactSurv, Seq("doc_id"), "left")
+          .join(lshSurv, Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_total"),
+            count(col("_e")).as("n_exact"),
+            count(col("_l")).as("n_lsh"),
+            sum(when(col("_e").isNotNull && col("_l").isNull, 1L).otherwise(0L)).as("n_viol"))
+          .head()
+        val (nTotal, nExact, nLsh, nViol) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
         val removedExact = nTotal - nExact
         val recall = if (removedExact == 0) 1.0 else (nTotal - nLsh).toDouble / removedExact
         Seq(
@@ -823,7 +835,7 @@ object SparkEntry {
           ("lsh_removal_recall_ge_floor", removedExact > 0 && recall >= 0.95)
         ).toDF("check_name", "ok")
       } finally {
-        lshSurv.unpersist(); exactSurv.unpersist(); deduped.unpersist()
+        deduped.unpersist()
       }
     }),
 

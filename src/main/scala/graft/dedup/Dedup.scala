@@ -111,14 +111,15 @@ object Dedup {
       graft.functions.TextExpressions
         .word_shingles(col(textCol).cast("string"), cfg.shingleK).as("sh"))
 
-    val banded = base
-      .mapPartitions { it =>
-        it.flatMap { case (id, t) =>
-          val keys = Linker.bandKeys(Linker.signature(wordShingles(t, cfg.shingleK), cfg), cfg)
-          keys.iterator.zipWithIndex.map { case (k, b) => (id, b, k) }
-        }
-      }
-      .toDF("id", "band", "bh")
+    // signing runs as the minhash_band_keys codegen expression +
+    // posexplode (band id = position) — the mapPartitions form paid an
+    // encoder round-trip per row and split the scan's codegen span
+    val banded = df
+      .select(
+        col(idCol).cast("long").as("id"),
+        posexplode(graft.functions.TextExpressions
+          .minhash_band_keys(col(textCol).cast("string"), cfg)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bh"))
 
     val candidates = banded
       .select($"band", $"bh", $"id".as("id_a"))
@@ -492,13 +493,12 @@ object Dedup {
     import spark.implicits._
     val chunks = maxBits + 1
     val bits = 64 / chunks
+    // the simhash64 codegen expression replaces the typed map (and
+    // lowercases with Locale.ROOT like the rest of the tokenizers)
     val sigs = df
-      .select(col(idCol).cast("long"), col(textCol).cast("string"))
-      .as[(Long, String)]
-      .map { case (id, t) =>
-        (id, TextOps.simhash64(t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq))
-      }
-      .toDF("id", "sig")
+      .select(
+        col(idCol).cast("long").as("id"),
+        graft.functions.TextExpressions.simhash64(col(textCol).cast("string")).as("sig"))
     val banded = sigs.select(
       $"id",
       $"sig",
@@ -515,9 +515,9 @@ object Dedup {
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"sig_a", $"sig_b")
       .distinct()
-      .as[(Long, Long, Long, Long)]
-      .map { case (a, b, sa, sb) => (a, b, TextOps.hamming64(sa, sb)) }
-      .toDF("id_a", "id_b", "hamming")
+      // hamming64(a, b) IS bit_count(a ^ b) — the built-in replaces
+      // the typed map's encoder round-trip per candidate
+      .select($"id_a", $"id_b", bit_count($"sig_a".bitwiseXOR($"sig_b")).as("hamming"))
       .where($"hamming" <= maxBits)
   }
 

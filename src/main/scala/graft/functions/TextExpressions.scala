@@ -504,4 +504,74 @@ object TextExpressions {
       dupCaps: Seq[(Int, Double)]
   ): Column =
     ExprBridge.column(NgramPasses(ExprBridge.expression(text), unitSep, topCaps, dupCaps))
+
+  // ---------------------------------------------------------------
+  // MinHash / SimHash signature kernels
+  // ---------------------------------------------------------------
+
+  /** Codegen entry: MinHash band keys of a text's word shingles —
+    * exactly `Linker.bandKeys(Linker.signature(wordShingles(t, k)))`,
+    * the composition the banding mapPartitions evaluated per row.
+    */
+  def minhashBandKeysData(text: UTF8String, cfg: graft.link.Linker.LshConfig): ArrayData =
+    new GenericArrayData(
+      graft.link.Linker.bandKeys(
+        graft.link.Linker.signature(wordShinglesArr(text.toString, cfg.shingleK), cfg), cfg))
+
+  /** minhash_band_keys(text): array<bigint>, one band key per band
+    * (index = band id), inside whole-stage codegen.
+    */
+  case class MinhashBandKeys(child: Expression, cfg: graft.link.Linker.LshConfig)
+      extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"minhash_band_keys input must be string, got $other")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(a: Any): Any =
+      minhashBandKeysData(a.asInstanceOf[UTF8String], cfg)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cfgRef = ctx.addReferenceObj("lshCfg", cfg, cfg.getClass.getName)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextExpressions.minhashBandKeysData($a, $cfgRef);")
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def minhash_band_keys(text: Column, cfg: graft.link.Linker.LshConfig): Column =
+    ExprBridge.column(MinhashBandKeys(ExprBridge.expression(text), cfg))
+
+  /** Codegen entry: 64-bit SimHash of the lowercased whitespace tokens
+    * (Locale.ROOT — matches SQL lower()).
+    */
+  def simhash64Of(text: UTF8String): Long =
+    graft.text.TextOps.simhash64(
+      text.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty).toSeq)
+
+  /** simhash64(text): bigint signature, inside whole-stage codegen. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"simhash64 input must be string, got $other")
+    }
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(a: Any): Any = simhash64Of(a.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextExpressions.simhash64Of($a);")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def simhash64(text: Column): Column =
+    ExprBridge.column(SimHash64(ExprBridge.expression(text)))
 }
