@@ -147,7 +147,11 @@ object SparkEntry {
     memoized(kgCache, s, dir) {
       val cfg = genConfigFor(dir)
       val dict = Dictionary.build(cfg.seed, cfg.numEntities)
-      val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict)
+      // persistSource: the bench corpus is generated and sf-sized —
+      // pinning the flat turn rows pays one generation for the two
+      // full-stream passes (extraction + observed-ids); a 100-TB run
+      // reads a source table instead and keeps the default
+      val r = KGPipeline.run(s, TranscriptGen.transcripts(s, cfg), dict, persistSource = true)
       // several kg_* queries consume the materialized graph — cache the
       // (small, canonical) output tables, not the turn-stream
       // intermediates; mirrors reading back the written tables

@@ -77,14 +77,25 @@ object KGPipeline {
       turns: Dataset[Turn],
       dict: Seq[SurfaceForm],
       lsh: Linker.LshConfig = Linker.LshConfig(),
-      persistIntermediate: Boolean = false
+      persistIntermediate: Boolean = false,
+      persistSource: Boolean = false
   ): Result = {
     import spark.implicits._
 
     val bc = spark.sparkContext.broadcast(dict.toArray)
     // P1: drop records with null payload, the reference's null-position
     // filter (/root/reference/src/TCXParser.jl:58)
-    val validTurns = turns.filter((t: Turn) => t.text != null)
+    // persistSource: the turn stream feeds TWO full passes (the
+    // triple extraction and the observed-ids vocabulary scan); for a
+    // driver-sized / generated corpus, pinning the flat (conv, idx,
+    // text) rows pays one generation instead of two. Default OFF: at
+    // 10^12 turns the source is a table whose re-scan is the normal
+    // plan, and pinning it would not fit executor storage.
+    val validTurns0 = turns.filter((t: Turn) => t.text != null)
+    val validTurns =
+      if (persistSource)
+        validTurns0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else validTurns0
     val extraction0 = Mentions.extract(spark, validTurns, bc)
     // Both output tables consume the extraction (edges need triples,
     // vertices need the observed-mention vocabulary). Default is to
