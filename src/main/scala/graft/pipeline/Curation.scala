@@ -200,15 +200,18 @@ object Curation {
       // which a pre-curate filter on the raw input cannot
       extraRule: Option[Column] = None
   ): Staged = {
-    // Plan-boundary rule (this file): every NARROW decision table —
-    // the near-dup pair table, the common-line fingerprint table, the
-    // span report, the contamination report — is cut with a LAZY
+    // Plan-boundary rule (this file): a NARROW decision table whose
+    // producing subtree would otherwise be re-planned into MULTIPLE
+    // consuming branches — the near-dup pair table, the common-line
+    // fingerprint table, the span report — is cut with a LAZY
     // localCheckpoint. Without the cut, the DataFrame API re-inlines
-    // the producing subtree into every consuming branch (the measured
-    // q_curate_neardup plan was 1378 nodes / 304 Exchanges; runtime
-    // exchange-reuse dedups the execution, but the driver still
-    // plans, optimizes and codegens the whole tree). With it, each
-    // decision table is planned once and its consumers see a leaf.
+    // the subtree per branch (the measured q_curate_neardup plan was
+    // 1378 nodes / 304 Exchanges; runtime exchange-reuse dedups the
+    // execution, but the driver still plans, optimizes and codegens
+    // the whole tree). With it, each decision table is planned once
+    // and its consumers see a leaf. Single-consumer tables (the
+    // contamination report) are NOT cut: measured, the barrier alone
+    // costs ~0.3-1 s per chain with nothing deduplicated in return.
     // The WIDE corpus stages stay lazy/recomputed per the documented
     // caching policy — at 100-TB scale these same narrow tables are
     // the ones a real run stages (RunCuration's persisted prefixes),
@@ -257,8 +260,8 @@ object Curation {
     }
     // decontaminate = report + anti-join (same as Decontam.decontaminate,
     // opened up so the report the pipeline used IS the audit artifact)
-    val report = cut(Decontam
-      .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN))
+    val report = Decontam
+      .contaminationReport(spark, afterSpans, evalDocs, idCol, textCol, evalTextCol, shingleN)
     val cleaned = afterSpans.join(report.select(col(idCol)), Seq(idCol), "left_anti")
     val qualified0 = qualityFloor.foldLeft(
       cleaned.where(TextOps.tokenCount(col(textCol)) >= minTokens)
