@@ -505,6 +505,103 @@ object TextExpressions {
   ): Column =
     ExprBridge.column(NgramPasses(ExprBridge.expression(text), unitSep, topCaps, dupCaps))
 
+  /** The Gopher line-family rule conjunction over one document —
+    * identical decisions to `Repetition.gopherLinePassesHof`
+    * (spec-pinned): duplicate-line and duplicate-line-character caps,
+    * bullet-start and ellipsis-end caps. Lines are the "\n" units
+    * (lower, space-trim, drop empties). Caps layout:
+    * [maxDupLineFraction, maxDupLineCharFraction,
+    * maxBulletLineFraction, maxEllipsisLineFraction].
+    */
+  def gopherLinePassesKernel(
+      textU: UTF8String,
+      sep: java.util.regex.Pattern,
+      bullet: java.util.regex.Pattern,
+      ellipsis: java.util.regex.Pattern,
+      caps: Array[Double]
+  ): Boolean = {
+    val lines = unitsKernel(textU.toString, sep)
+    val n = lines.length
+    var totChars = 0L
+    var bullets = 0
+    var ellipses = 0
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var i = 0
+    while (i < n) {
+      val l = lines(i)
+      totChars += cpLen(l)
+      if (bullet.matcher(l).find()) bullets += 1
+      if (ellipsis.matcher(l).find()) ellipses += 1
+      counts.merge(l, 1, (a, b) => a + b)
+      i += 1
+    }
+    // chars inside lines occurring >= 2 times (every occurrence counts)
+    var dupChars = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getValue >= 2) dupChars += e.getValue.toLong * cpLen(e.getKey)
+    }
+    val dupFrac = if (n > 0) round6((n - counts.size).toDouble / n) else 0.0
+    val dupCharFrac = if (totChars > 0) round6(dupChars.toDouble / totChars) else 0.0
+    val bulletFrac = if (n > 0) round6(bullets.toDouble / n) else 0.0
+    val ellipsisFrac = if (n > 0) round6(ellipses.toDouble / n) else 0.0
+    dupFrac <= caps(0) && dupCharFrac <= caps(1) &&
+      bulletFrac <= caps(2) && ellipsisFrac <= caps(3)
+  }
+
+  /** Boolean line-family gate: `Repetition.gopherLinePasses` as one
+    * kernel call (one evaluation per row, whole-stage codegen).
+    */
+  case class GopherLinePasses(
+      child: Expression,
+      unitSep: String,
+      bulletPat: String,
+      ellipsisPat: String,
+      caps: Seq[Double]
+  ) extends UnaryExpression {
+    require(caps.length == 4, s"gopher_line_passes needs 4 caps, got ${caps.length}")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(s"gopher_line_passes input must be string, got $other")
+    }
+    override def dataType: DataType = BooleanType
+
+    @transient private lazy val sep = java.util.regex.Pattern.compile(unitSep)
+    @transient private lazy val bul = java.util.regex.Pattern.compile(bulletPat)
+    @transient private lazy val ell = java.util.regex.Pattern.compile(ellipsisPat)
+    @transient private lazy val capsArr = caps.toArray
+
+    override def nullSafeEval(a: Any): Any =
+      gopherLinePassesKernel(a.asInstanceOf[UTF8String], sep, bul, ell, capsArr)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pat = classOf[java.util.regex.Pattern].getName
+      val sepRef = ctx.addReferenceObj("glpSep", sep, pat)
+      val bulRef = ctx.addReferenceObj("glpBullet", bul, pat)
+      val ellRef = ctx.addReferenceObj("glpEllipsis", ell, pat)
+      val capRef = ctx.addReferenceObj("glpCaps", capsArr, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = graft.functions.TextExpressions.gopherLinePassesKernel(
+           |  $a, $sepRef, $bulRef, $ellRef, $capRef);
+           |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def gopher_line_passes(
+      text: Column,
+      unitSep: String,
+      bulletPat: String,
+      ellipsisPat: String,
+      caps: Seq[Double]
+  ): Column =
+    ExprBridge.column(
+      GopherLinePasses(ExprBridge.expression(text), unitSep, bulletPat, ellipsisPat, caps))
+
   // ---------------------------------------------------------------
   // MinHash / SimHash signature kernels
   // ---------------------------------------------------------------

@@ -574,6 +574,22 @@ object Repetition {
       maxBulletLineFraction: Double = 0.9,
       maxEllipsisLineFraction: Double = 0.3
   ): Column =
+    graft.functions.TextExpressions.gopher_line_passes(
+      coalesce(text, lit("")), "\n", BulletPat, EllipsisPat,
+      Seq(maxDupLineFraction, maxDupLineCharFraction,
+        maxBulletLineFraction, maxEllipsisLineFraction))
+
+  /** The original higher-order-function formulation of
+    * [[gopherLinePasses]] — retained as the equivalence reference for
+    * the kernel (RepetitionSpec pins the two equal row-for-row).
+    */
+  private[graft] def gopherLinePassesHof(
+      text: Column,
+      maxDupLineFraction: Double = 0.3,
+      maxDupLineCharFraction: Double = 0.2,
+      maxBulletLineFraction: Double = 0.9,
+      maxEllipsisLineFraction: Double = 0.3
+  ): Column =
     element_at(
       transform(
         array(units(text, "\n")),

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, regexp_replace}
 import graft.text.Repetition
 
 class RepetitionSpec extends SparkSpec {
@@ -273,6 +273,25 @@ class RepetitionSpec extends SparkSpec {
         Repetition.gopherPassesHof(col("text"), minWords = minW, maxDupUnitFraction = maxDup).as("p"))
         .as[(Long, Boolean)].collect().toMap
       assert(wKernel == wHof, s"minWords=$minW maxDup=$maxDup")
+    }
+    // the line-family gate kernel agrees with ITS HOF reference — on a
+    // multi-line mutation of the corpus (3-word lines, some bulleted /
+    // ellipsis-terminated / doubled) at thresholds that split decisions
+    val multi = df.select(col("doc_id"),
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n").as("text"))
+      .union(Seq(
+        (950L, "- a\n- b\n- c"), (951L, "x...\ny...\nz"),
+        (952L, "same line\nsame line\nsame line\nother")).toDF("doc_id", "text"))
+    for ((dup, bul) <- Seq((0.3, 0.9), (0.0, 0.2), (1.0, 0.0))) {
+      val lKernel = multi.select(col("doc_id"),
+        Repetition.gopherLinePasses(col("text"),
+          maxDupLineFraction = dup, maxBulletLineFraction = bul).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      val lHof = multi.select(col("doc_id"),
+        Repetition.gopherLinePassesHof(col("text"),
+          maxDupLineFraction = dup, maxBulletLineFraction = bul).as("p"))
+        .as[(Long, Boolean)].collect().toMap
+      assert(lKernel == lHof, s"dup=$dup bullet=$bul")
     }
   }
 
