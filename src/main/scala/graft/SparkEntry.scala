@@ -1358,9 +1358,11 @@ object SparkEntry {
       graft.graph.Materialize.writeVertices(vertices, out)
       // 8 buckets: ~100k rows at sf0.1 — bucket count sizes to data
       graft.graph.Materialize.writeEdges(s, edges, out, numBuckets = 8)
-      graft.graph.Materialize.writeManifest(s, out)
-      val (v, e) = graft.graph.Materialize.stats(s, out)
-      Seq(("edges", e), ("vertices", v)).toDF("table_name", "n_rows")
+      // stats once: the manifest reuses the same counters instead of
+      // re-running the heal pass and the two count jobs
+      val st = graft.graph.Materialize.stats(s, out)
+      graft.graph.Materialize.writeManifest(s, out, Some(st))
+      Seq(("edges", st._2), ("vertices", st._1)).toDF("table_name", "n_rows")
     }),
 
     // ---- S10: CSV sink round-trip (write via Materialize.writeCsv,

@@ -472,7 +472,18 @@ object Materialize {
     * manifest): data files + row counters per table, one JSON per
     * snapshot. Readers can diff manifests for incremental consumption.
     */
-  def writeManifest(spark: SparkSession, outDir: String): String = {
+  def writeManifest(spark: SparkSession, outDir: String): String =
+    writeManifest(spark, outDir, None)
+
+  /** [[writeManifest]] with the row counters supplied by a caller that
+    * already computed [[stats]] — avoids re-running the heal pass and
+    * the two count jobs when the manifest write follows a stats call.
+    */
+  def writeManifest(
+      spark: SparkSession,
+      outDir: String,
+      precomputedStats: Option[(Long, Long)]
+  ): String = {
     val fs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def files(sub: String): Seq[(String, Long)] = {
@@ -490,7 +501,7 @@ object Materialize {
       }
     }
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val (v, e) = stats(spark, outDir)
+    val (v, e) = precomputedStats.getOrElse(stats(spark, outDir))
     val snapshotId = System.currentTimeMillis()
     val json =
       s"""{"snapshot_id":$snapshotId,"vertices_rows":$v,"edges_rows":$e,""" +
